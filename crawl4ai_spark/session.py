@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The knobs here are the ones that matter at 100 TB and do no harm at
+test scale:
+
+- AQE on (runtime re-planning, skew-join splitting, partition
+  coalescing) — the frontier's hot-host skew is first bounded by the
+  politeness admission window, and whatever skew survives the anti-
+  join/agg stages is AQE's job.
+- Arrow for all pandas-UDF transport, with a bounded batch size so the
+  fetch/extract UDFs see small-enough batches to pipeline.
+- shuffle partitions sized for local[N] testing; on a real cluster
+  this is overridden by --conf (we never hardcode cluster-only values
+  into the plan).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crawl4ai_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # local[N] → N shuffle partitions; a real cluster overrides this.
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = os.cpu_count() or 32 if inner == "*" else int(inner)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
