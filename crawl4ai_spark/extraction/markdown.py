@@ -1,0 +1,58 @@
+"""Markdown post-processing: link→citation conversion (E4).
+
+Clean-room re-expression of
+DefaultMarkdownGenerator.convert_links_to_citations
+(/root/reference/crawl4ai/markdown_generation_strategy.py:82-146):
+every markdown link `[text](url "title")` becomes `text⟨n⟩` (images:
+`![text⟨n⟩]`), numbered by first occurrence of the resolved URL, with
+a references section `⟨n⟩ url: title - text`.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+# [text](url) / [text](url "title") / ![alt](src), non-greedy text
+_LINK_RE = re.compile(r"!?\[([^\]]*)\]\(([^()\s\"]+)(?:\s+\"([^\"]*)\")?\)")
+
+
+def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:
+    """Returns (markdown_with_citations, references_markdown)."""
+    link_map: dict[str, tuple[int, str]] = {}
+    parts: list[str] = []
+    last_end = 0
+    counter = 1
+
+    for m in _LINK_RE.finditer(markdown):
+        parts.append(markdown[last_end : m.start()])
+        text, url, title = m.group(1), m.group(2), m.group(3)
+
+        if base_url and not url.startswith(("http://", "https://", "mailto:")):
+            url = urljoin(base_url, url)
+
+        if url not in link_map:
+            desc = []
+            if title:
+                desc.append(title)
+            if text and text != title:
+                desc.append(text)
+            link_map[url] = (counter, ": " + " - ".join(desc) if desc else "")
+            counter += 1
+
+        num = link_map[url][0]
+        if m.group(0).startswith("!"):
+            parts.append(f"![{text}⟨{num}⟩]")
+        else:
+            parts.append(f"{text}⟨{num}⟩")
+        last_end = m.end()
+
+    parts.append(markdown[last_end:])
+    converted = "".join(parts)
+
+    references = ["\n\n## References\n\n"]
+    references.extend(
+        f"⟨{num}⟩ {url}{desc}\n"
+        for url, (num, desc) in sorted(link_map.items(), key=lambda kv: kv[1][0])
+    )
+    return converted, "".join(references)

@@ -1,0 +1,200 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — the standard cascade for a 100 TB corpus:
+
+1. exact      — md5 of normalized text, groupBy keep-first.  One
+                shuffle on a 16-byte key; at scale this is the
+                cheapest possible dedup and removes the bulk.
+2. minhash+LSH — shingle → k minhash signatures → b bands →
+                bucket-join: only documents sharing a band bucket are
+                compared.  Near-dup detection with sub-quadratic join
+                fan-out; bands shuffle on (band, bucket-hash) keys.
+3. simhash    — 64-bit sign-sum fingerprint; hamming-adjacent
+                candidates via 4×16-bit chunk banding.
+4. n-gram Jaccard — exact verification on candidate pairs only
+                (explode shingles → pair intersection counts).
+
+MinHash here uses md5(shingle ∥ permutation-id) with lexicographic
+min — deterministic and reproducible across engines (the correctness
+oracle recomputes it in DuckDB SQL with identical results), at the
+cost of ~2× the hash work of xxhash64; swap `_minhash_fn` for
+xxhash64 when oracle portability isn't needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.text import fingerprint
+
+__all__ = [
+    "normalize_text",
+    "dedup_exact",
+    "shingles",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_pairs",
+    "simhash64",
+    "simhash_candidate_pairs",
+]
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(text) -> Column:
+    return F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+
+
+# ── 1. exact dedup ────────────────────────────────────────────────────
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact-content group.
+    Adds `content_hash` and `dup_count` (group size)."""
+    w = Window.partitionBy("content_hash").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("content_hash", fingerprint(text_col))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("content_hash")))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ── 2. shingles + minhash + LSH ───────────────────────────────────────
+
+def shingles(text, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text, distinct."""
+    words = F.filter(F.split(normalize_text(text), " "), lambda w: w != F.lit(""))
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        )
+    )
+
+
+def _minhash_fn(shingle: Column, perm: int) -> Column:
+    # md5 is reproducible in DuckDB → usable as the correctness oracle.
+    return F.md5(F.concat(shingle, F.lit(f"#p{perm}")))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(id, perm, minhash): k permutations per document.  Long layout
+    (not a signature array) so banding is a groupBy, not an explode."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    per_perm = [
+        sh.select(
+            id_col,
+            F.lit(p).alias("perm"),
+            _minhash_fn(F.col("shingle"), p).alias("h"),
+        )
+        for p in range(num_perm)
+    ]
+    allp = per_perm[0]
+    for other in per_perm[1:]:
+        allp = allp.unionByName(other)
+    return allp.groupBy(id_col, "perm").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature and self-join on (band, band_key):
+    candidate pairs are docs agreeing on ALL rows of ≥1 band.
+    Output: (a, b) with a < b, distinct."""
+    banded = (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
+    )
+    left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
+    right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ── 4. exact n-gram Jaccard (verification / standalone) ───────────────
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3, threshold: float = 0.8,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over word-shingle sets.  With `candidates`
+    ((a,b) pairs), verifies only those; otherwise all pairs sharing ≥1
+    shingle (inverted-index join — never a full cross join)."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    pairs = (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return pairs
+
+
+# ── 3. simhash ────────────────────────────────────────────────────────
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash: per word-token, xxhash64(token); per bit, sum of
+    ±1 weighted by token count; fingerprint bit = sign.  All native —
+    explode + one groupBy with 64 conditional sums."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(normalize_text(text_col), " "), lambda w: w != F.lit(""))
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidate_pairs(sim: DataFrame, id_col: str = "doc_id",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates by 4×16-bit chunk banding (pigeonhole: any
+    pair within hamming ≤3 agrees on ≥1 of 4 chunks), verified by
+    exact popcount on the candidate pairs."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    t = sim.select(F.col(id_col), F.col("simhash"), *chunks)
+    pairs = None
+    for i in range(4):
+        left = t.select(F.col(id_col).alias("a"), F.col("simhash").alias("sa"), F.col(f"c{i}").alias("k"))
+        right = t.select(F.col(id_col).alias("b"), F.col("simhash").alias("sb"), F.col(f"c{i}").alias("k"))
+        p = left.join(right, "k").filter(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")

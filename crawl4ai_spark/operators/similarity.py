@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+- brute-force cosine top-k: exact baseline.  Dot products via native
+  zip_with + aggregate (JVM-side, codegen) — no UDF.  The probe side
+  is broadcast; the corpus scan is a single pass, top-k per query via
+  window.  At 100 TB this is the "small probe set × huge corpus"
+  shape: corpus never shuffles, only (query_id, candidate, score)
+  rows do.
+- LSH (random hyperplane) bucketing: sub-linear candidate generation.
+  Hyperplane components are derived deterministically from
+  xxhash64(plane_id, dim) — no stored model, any executor (or the
+  DuckDB oracle) re-derives the same planes.  Same-bucket candidates
+  are then re-ranked exactly.  This is the IVF-style scale path: the
+  bucket id is a shuffle key, so each bucket's candidates co-locate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "vec_norm",
+    "cosine",
+    "cosine_topk",
+    "hyperplane_bucket",
+    "lsh_topk",
+]
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def vec_norm(vec) -> Column:
+    v = _col(vec)
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+
+def cosine(a, b) -> Column:
+    """Cosine similarity of two array<float> columns — native zip_with
+    dot product, no UDF."""
+    a, b = _col(a), _col(b)
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return dot / (vec_norm(a) * vec_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast queries × corpus scan.
+    Output: (query_id, vec_id, cos_sim, rank), rank 1..k; ties broken
+    by vec_id asc for determinism."""
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _plane_component(plane: int, dim_idx: Column) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane component from
+    xxhash64(plane, dim): re-derivable anywhere, no model state."""
+    h = F.xxhash64(F.lit(plane), dim_idx)
+    return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_bucket(vec, n_planes: int = 8) -> Column:
+    """LSH bucket id: sign bits of `n_planes` random-hyperplane dot
+    products packed into an int."""
+    v = _col(vec)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1),
+                            lambda i, p=p: _plane_component(p, i)),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: equi-join on the hyperplane bucket, exact
+    re-rank within bucket.  Recall < 1.0 by construction (a query only
+    sees its own bucket); multi-probe = union over bit-flipped buckets
+    if higher recall is needed."""
+    c = corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes))
+    q = queries.withColumn("bucket", hyperplane_bucket(F.col(query_vec_col), n_planes))
+    joined = c.join(F.broadcast(q), "bucket")
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,60 @@
+"""CrawlConfig — one plain-data spec shared by the Spark engine and
+the pure-Python parity simulator.
+
+The engine's iteration semantics (what an "iteration" admits, how
+retries/backoff/budgets work) are defined HERE, once, so that
+plans.crawl and testing.simulator cannot drift apart.  Reference
+anchors: BFS level loop bfs_strategy.py:142-192, best-first priority
+pop bff_strategy.py:129-213 (lower score = higher priority), rate
+limiter async_dispatcher.py:28-85 (backoff ×2 capped, decay ×0.75,
+codes {429,503}, give up after 3 retries), robots gate
+async_webcrawler.py:318-331.
+
+Determinism deviations from the reference (pinned, tested):
+- politeness jitter U(0.75,1.25) and base delay U(1,3) are replaced
+  by fixed factors (jitter=1, base_delay=1.0) — parity is defined on
+  admitted sets/ordering, not wall-clock (SURVEY.md §7.4.5);
+- best-first discovers links at iteration (batch) granularity, the
+  reference at result granularity within a batch of 10 — parity is
+  defined at batch barriers (SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+BACKOFF_CODES = (429, 503)
+
+
+@dataclass
+class CrawlConfig:
+    mode: str = "bfs"                       # 'bfs' | 'best_first'
+    max_depth: int = 3
+    max_pages: int = 1_000_000_000
+    score_threshold: float = float("-inf")
+    scorer: dict[str, Any] | None = None    # functions.specs scorer spec
+    filters: list[dict[str, Any]] = field(default_factory=list)
+    respect_robots: bool = True
+    user_agent: str = "crawl4ai-spark"
+    # politeness (per-iteration admission control, P1 in SURVEY §2.10)
+    base_budget: int = 4       # admissions per host per iteration at base delay
+    global_budget: int = 64    # admissions per iteration across all hosts
+    base_delay: float = 1.0
+    max_delay: float = 60.0
+    backoff_factor: float = 2.0
+    decay_factor: float = 0.75
+    max_retries: int = 3
+    max_iterations: int = 200
+
+    def host_budget(self, current_delay: float) -> int:
+        """Admissions this host gets this iteration: base_budget scaled
+        down by its backoff level, never below 1 (a host always gets a
+        retry slot; per-URL give-up is max_retries)."""
+        return max(1, int(self.base_budget * self.base_delay / current_delay))
+
+    def order_key_is_priority(self) -> bool:
+        """best_first orders by (score asc, depth asc, seq asc) — the
+        reference's min-heap with FIFO tiebreak; bfs orders by (depth
+        asc, seq asc) — level discovery order."""
+        return self.mode == "best_first"
