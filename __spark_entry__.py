@@ -1,38 +1,952 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the crawl4ai_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (URL canonicalization/filter/scorer surface, frontier
+admission shapes, aggregations, dedup cascade, similarity search,
+text analysis, multimodal plumbing, interleaved-span docs, and the
+crawl loop itself), each expressed over the driver's fixed parquet
+tables; `oracle_sql()` gives the DuckDB-equivalent SQL.
+
+Cross-engine determinism rules used throughout:
+- money/quantity sums go through DECIMAL casts (exact), then cast to
+  double at the end — never float-sum order dependence;
+- every hash shared with the oracle is md5 (identical hex in both
+  engines); xxhash64 variants exist in the library for the
+  non-oracled scale path;
+- float outputs are round(x, 6) in BOTH engines;
+- URL test columns are synthesized deterministically from doc_id so
+  the oracle can compute the expected canonical form analytically.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+# ───────────────────────── helpers ────────────────────────────────────
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dirty_url_col() -> F.Column:
+    """Deterministic dirty URL per document (Spark side).
+    Mirrors the SQL in _DIRTY_URL_SQL exactly."""
+    d = F.col("doc_id")
+    host = F.when(d % 3 == 0, F.upper("source")).otherwise(F.col("source"))
+    ext = F.when(d % 5 == 0, F.lit(".html")).when(d % 5 == 1, F.lit(".pdf")).otherwise(F.lit(""))
+    q = (
+        F.when(d % 7 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 7 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 11 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    return F.concat(
+        F.lit("https://"), host, F.lit(".example.test/"), F.col("lang"), F.lit("/"),
+        (F.lit(2019) + d % 6).cast("string"), F.lit("/doc-"), d.cast("string"),
+        ext, q, frag,
+    )
+
+
+_DIRTY_URL_SQL = """
+    'https://' || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+    || '.example.test/' || lang || '/' || (2019 + doc_id % 6)::VARCHAR
+    || '/doc-' || doc_id::VARCHAR
+    || (CASE WHEN doc_id % 5 = 0 THEN '.html' WHEN doc_id % 5 = 1 THEN '.pdf' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '?utm_source=x&b=2&a=1'
+             WHEN doc_id % 7 = 1 THEN '?a=1&b=2' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)
+"""
+
+# normalized text (both engines)
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_WORDS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x != '')"
+
+
+# ═════════════════════ query implementations ══════════════════════════
+
+# ── URL surface (C1-C7, F1-F5, R1-R9 over synthesized URLs) ──────────
+
+def q_url_canonicalize(spark, sf_dir):
+    from crawl4ai_spark.functions.udfs import canonicalize_udf
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _dirty_url_col())
+    return docs.select(
+        "doc_id",
+        canonicalize_udf(F.col("url"), F.col("url")).alias("canon_url"),
+    ).orderBy("doc_id")
+
+
+def q_url_host_depth(spark, sf_dir):
+    from crawl4ai_spark.functions.scorers import extract_domain, path_depth
+    from crawl4ai_spark.functions.udfs import host_udf
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _dirty_url_col())
+    return docs.select(
+        "doc_id",
+        host_udf("url").alias("host"),
+        extract_domain("url").alias("domain"),
+        path_depth("url").cast("int").alias("depth"),
+    ).orderBy("doc_id")
+
+
+def q_url_pattern_filter(spark, sf_dir):
+    from crawl4ai_spark.functions.filters import domain_filter, url_pattern_filter
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _dirty_url_col())
+    return docs.select(
+        "doc_id",
+        url_pattern_filter("url", "*.html").alias("is_html"),
+        url_pattern_filter("url", "*/2021/*").alias("in_2021"),
+        domain_filter("url", allowed_domains="example.test").alias("domain_ok"),
+    ).orderBy("doc_id")
+
+
+def q_url_scores(spark, sf_dir):
+    from crawl4ai_spark.functions.specs import compile_scorer_column
+
+    spec = {
+        "kind": "composite", "normalize": True,
+        "scorers": [
+            {"kind": "keyword", "keywords": ["html", "2021"]},
+            {"kind": "freshness", "current_year": 2024},
+            {"kind": "path_depth", "optimal_depth": 3},
+        ],
+    }
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _dirty_url_col())
+    return docs.select(
+        "doc_id",
+        F.round(compile_scorer_column(spec, F.col("url")), 6).alias("score"),
+    ).orderBy("doc_id")
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """Seen-set membership as a left anti join on canonical URLs (J1):
+    'seen' = even doc_ids; survivors must be the odd ones."""
+    from crawl4ai_spark.functions.udfs import canonicalize_udf, url_hash
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _dirty_url_col())
+    canon = docs.select(
+        "doc_id", canonicalize_udf(F.col("url"), F.col("url")).alias("canon_url")
+    )
+    seen = canon.filter(F.col("doc_id") % 2 == 0).select("canon_url")
+    # url_hash stays internal (xxhash64 is not oracle-reproducible);
+    # the anti-join itself is what's under test.
+    return (
+        canon.join(seen, "canon_url", "left_anti")
+        .withColumn("url_hash", url_hash("canon_url"))
+        .select("doc_id", "canon_url")
+        .orderBy("doc_id")
+    )
+
+
+# ── frontier-shaped relational operators (O1-O8, J1-J7, A1-A9) ───────
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: map-side partial agg → exchange on tiny key."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(14,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(14,2)") - dec("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_admission_topk(spark, sf_dir):
+    """The politeness admission window shape (P1/O1): per-group rank
+    cap, then global priority top-K — over orders as the stand-in
+    frontier (customer = host, totalprice = priority)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= 2)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "host_rank")
+    )
+
+
+def q_region_revenue(spark, sf_dir):
+    """Broadcast dim-join chain (J4 shape): lineitem ⨝ supplier ⨝
+    nation ⨝ region, revenue per region."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(14,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(14,2)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+        .orderBy("r_name")
+    )
+
+
+def q_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the event stream table."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,9)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Session windows via gap > 30 min (lag + cumulative sum) — the
+    batch restatement of stateful sessionization."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", gap)
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_events_topk_users(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def q_events_props(spark, sf_dir):
+    """JSON props extraction + aggregate (schema-on-read shape)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )
+
+
+# ── dedup cascade (training-data pipeline) ───────────────────────────
+
+def q_dedup_exact(spark, sf_dir):
+    from crawl4ai_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup_exact(docs, "text", "doc_id")
+        .select("doc_id", "content_hash", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from crawl4ai_spark.operators.dedup import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signature(docs, "text", "doc_id", num_perm=8, shingle_n=3).orderBy(
+        "doc_id", "perm"
+    )
+
+
+def q_lsh_pairs(spark, sf_dir):
+    from crawl4ai_spark.operators.dedup import lsh_candidate_pairs, minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", "doc_id", num_perm=8, shingle_n=3)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2).orderBy("a", "b")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from crawl4ai_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.12)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("a", "b")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit simhash over md5 token hashes (md5 keeps it
+    oracle-reproducible; the xxhash64/64-bit variant is
+    operators.dedup.simhash64)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(norm, " "), lambda w: w != F.lit(""))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(32):
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", fp.alias("simhash32")).orderBy("doc_id")
+
+
+# ── similarity search over embeddings ────────────────────────────────
+
+def q_knn_cosine(spark, sf_dir):
+    from crawl4ai_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    out = cosine_topk(corpus, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+def q_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket histogram; planes derived from md5
+    so the oracle re-derives identical buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    bucket = F.lit(0)
+
+    def _comp(p: int):
+        # 1-arg closure (2-arg HOF lambdas receive (element, index))
+        return F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda i: F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{p}_"), i.cast("string"))), 1, 1)
+                .isin("0", "1", "2", "3", "4", "5", "6", "7"),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+
+    for p in range(6):
+        dot = F.aggregate(
+            F.zip_with(v, _comp(p), lambda x, w: x.cast("double") * w),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return (
+        emb.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+def q_label_centroid_sim(spark, sf_dir):
+    """Embedding-cosine near-dup shape: per label, distinct pair count
+    with cosine ≥ 0.2 within the label group (grouped self-join)."""
+    from crawl4ai_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine("va", "vb"))
+    )
+    return (
+        pairs.groupBy("label")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("cos") >= 0.2, 1).otherwise(0)).alias("n_similar"),
+        )
+        .orderBy("label")
+    )
+
+
+# ── text analysis ────────────────────────────────────────────────────
+
+def q_text_stats(spark, sf_dir):
+    from crawl4ai_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = T.word_stats("text")
+    return docs.select(
+        "doc_id",
+        stats["n_words"].alias("n_words"),
+        stats["n_chars"].alias("n_chars"),
+        F.round(stats["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        T.ws_token_count("text").alias("ws_tokens"),
+        T.regex_token_count("text").alias("regex_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    from crawl4ai_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(T.quality_score("text"), 6).alias("quality"),
+        F.round(T.stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    from crawl4ai_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = T.lang_id("text")
+    return docs.select(
+        "doc_id", "lang", pred["lang"].alias("pred_lang"), pred["hits"].alias("sw_hits")
+    ).orderBy("doc_id")
+
+
+# ── multimodal plumbing ──────────────────────────────────────────────
+
+def q_media_decode(spark, sf_dir):
+    """Binary media column → fake-decode features via mapInPandas (the
+    Spark plumbing is real; the codec is the deterministic md5 stand-in)."""
+    from crawl4ai_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "UTF-8").alias("blob"),
+    )
+    out = extract_image_features(media, fake=True)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 16), 6).alias("f15"),
+    ).orderBy("media_id")
+
+
+def q_video_frames(spark, sf_dir):
+    """Frame-sampling plumbing: deterministic frame indices per blob."""
+    docs = _t(spark, sf_dir, "documents")
+    n_frames = (F.length("text") / F.lit(50)).cast("int") + 1
+    return docs.select(
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(3))).alias("frame_idx"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+# ── interleaved text+media span documents (the north-rule shape) ─────
+
+def q_interleaved_spans(spark, sf_dir):
+    """documents → docs(doc_id, spans) with a media span injected after
+    every 3rd 10-word text chunk, then exploded for value checking."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    n_chunks = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.concat_ws(" ", F.slice(words, j * 10 + 1, 10)),
+    )
+    # after chunks 2, 5, 8… (0-based j%3==2) insert a media span
+    spans = F.flatten(
+        F.transform(
+            chunks,
+            lambda c, j: F.when(
+                j % 3 == 2,
+                F.array(
+                    F.struct(F.lit("text").alias("kind"), c.alias("text"), F.lit("").alias("media_ref")),
+                    F.struct(
+                        F.lit("media").alias("kind"), F.lit("").alias("text"),
+                        F.concat(F.lit("/img/"), F.col("doc_id").cast("string"),
+                                 F.lit("-"), j.cast("string")).alias("media_ref"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.lit("text").alias("kind"), c.alias("text"), F.lit("").alias("media_ref")))
+            ),
+        )
+    )
+    exploded = docs.select("doc_id", F.posexplode(spans).alias("offset", "s"))
+    return exploded.select(
+        "doc_id", "offset",
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.length(F.col("s.text")).alias("text_len"),
+    ).orderBy("doc_id", "offset")
+
+
+# ── the crawl loop itself (iterative; no single-SQL oracle) ──────────
+
+def q_crawl_bfs(spark, sf_dir):
+    """End-to-end BFS crawl of the deterministic synthetic web —
+    returns the crawl log.  Iterative + stateful, so no SQL oracle;
+    correctness is pinned by the simulator parity suite
+    (tests/test_crawl_parity.py)."""
+    from crawl4ai_spark.plans.config import CrawlConfig
+    from crawl4ai_spark.plans.crawl import CrawlEngine
+    from crawl4ai_spark.sources.synthetic_web import (
+        WebConfig, robots_rows, seed_urls, synthetic_pages_df,
+    )
+
+    web = WebConfig(n_pages=80, n_hosts=4, seed=42)
+    pages = synthetic_pages_df(spark, web).cache()
+    robots = spark.createDataFrame(robots_rows(web))
+    cfg = CrawlConfig(mode="bfs", max_depth=2, max_pages=12,
+                      base_budget=8, global_budget=16, max_iterations=6)
+    res = CrawlEngine(spark, cfg, pages, robots).run(seed_urls(web, n_seeds=4))
+    return res.crawl_log.orderBy("iteration", "batch_rank").select(
+        "iteration", "url", "depth", "outcome", "batch_rank"
+    )
+
+
+# ═════════════════════ the contract functions ═════════════════════════
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the training-data document pipeline at sf0.001 —
+    interleaved span docs + quality + language + fingerprint, joined."""
+    sf_dir = "/root/testdata/sf0.001"
+    from crawl4ai_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = q_interleaved_spans(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.when(F.col("kind") == "media", 1).otherwise(0)).alias("n_media"),
+    )
+    pred = T.lang_id("text")
+    enriched = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.round(T.quality_score("text"), 6).alias("quality"),
+        pred["lang"].alias("pred_lang"),
+        T.fingerprint("text").alias("fingerprint"),
+    )
+    return enriched.join(per_doc, "doc_id").orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_canonicalize": q_url_canonicalize,
+        "url_host_depth": q_url_host_depth,
+        "url_pattern_filter": q_url_pattern_filter,
+        "url_scores": q_url_scores,
+        "seen_antijoin": q_seen_antijoin,
+        "pricing_summary": q_pricing_summary,
+        "admission_topk": q_admission_topk,
+        "region_revenue": q_region_revenue,
+        "order_priority": q_order_priority,
+        "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_topk_users": q_events_topk_users,
+        "events_props": q_events_props,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "knn_cosine": q_knn_cosine,
+        "lsh_buckets": q_lsh_buckets,
+        "label_centroid_sim": q_label_centroid_sim,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "media_decode": q_media_decode,
+        "video_frames": q_video_frames,
+        "interleaved_spans": q_interleaved_spans,
+        "crawl_bfs": q_crawl_bfs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ═════════════════════ DuckDB oracles ═════════════════════════════════
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    url = _DIRTY_URL_SQL
+    # analytically-expected canonical form of the dirty URL
+    canon = """
+        'https://' || source || '.example.test/' || lang || '/'
+        || (2019 + doc_id % 6)::VARCHAR || '/doc-' || doc_id::VARCHAR
+        || (CASE WHEN doc_id % 5 = 0 THEN '.html' WHEN doc_id % 5 = 1 THEN '.pdf' ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0 THEN '?b=2&a=1'
+                 WHEN doc_id % 7 = 1 THEN '?a=1&b=2' ELSE '' END)
     """
-    return {}
+    words = _WORDS_SQL
+    return {
+        "url_canonicalize": f"""
+            SELECT doc_id, {canon} AS canon_url
+            FROM documents ORDER BY doc_id
+        """,
+        "url_host_depth": f"""
+            WITH u AS (SELECT doc_id, {url} AS url FROM documents)
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+                   lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS domain,
+                   len(list_filter(string_split(regexp_replace(url, '^https?://[^/]*', ''), '/'),
+                                   x -> x != ''))::INT AS depth
+            FROM u ORDER BY doc_id
+        """,
+        "url_pattern_filter": f"""
+            WITH u AS (SELECT doc_id, {url} AS url FROM documents)
+            SELECT doc_id,
+                   (list_extract(string_split(list_extract(string_split(string_split(url,'?')[1],'/'),-1),'.'),-1)
+                    = 'html') AS is_html,
+                   (url LIKE '%/2021/%') AS in_2021,
+                   (lower(regexp_extract(url, '://([^/]+)', 1)) = 'example.test'
+                    OR ends_with(lower(regexp_extract(url, '://([^/]+)', 1)), '.example.test')) AS domain_ok
+            FROM u ORDER BY doc_id
+        """,
+        "url_scores": f"""
+            WITH u AS (SELECT doc_id, {url} AS url FROM documents)
+            SELECT doc_id,
+                   round((
+                     ((CASE WHEN contains(lower(url), 'html') THEN 1 ELSE 0 END)
+                      + (CASE WHEN contains(lower(url), '2021') THEN 1 ELSE 0 END)) / 2.0
+                     + (1.0 - (2024 - (2019 + doc_id % 6)) * 0.1)
+                     + 1.0
+                   ) / 3.0, 6) AS score
+            FROM u ORDER BY doc_id
+        """,
+        "seen_antijoin": f"""
+            SELECT doc_id, {canon} AS canon_url
+            FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity::DECIMAL(14,2))::DOUBLE AS sum_qty,
+                   sum(l_extendedprice::DECIMAL(14,2))::DOUBLE AS sum_base_price,
+                   sum(l_extendedprice::DECIMAL(14,2) * (1::DECIMAL(14,2) - l_discount::DECIMAL(14,2)))::DOUBLE AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "admission_topk": """
+            WITH ranked AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS host_rank
+              FROM orders
+            )
+            SELECT o_orderkey, o_custkey, o_totalprice, host_rank
+            FROM ranked WHERE host_rank <= 2
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   sum(l_extendedprice::DECIMAL(14,2) * (1::DECIMAL(14,2) - l_discount::DECIMAL(14,2)))::DOUBLE AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (
+              SELECT DISTINCT l_orderkey FROM lineitem JOIN orders o2 ON l_orderkey = o2.o_orderkey
+              WHERE l_shipdate > o2.o_orderdate
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   sum(value::DECIMAL(18,9))::DOUBLE AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            ), per_sess AS (
+              SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "events_topk_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "events_props": """
+            SELECT event_type, count(*) AS n,
+                   sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "dedup_exact": f"""
+            WITH h AS (
+              SELECT *, md5({_NORM_SQL}) AS content_hash FROM documents
+            ), g AS (
+              SELECT doc_id, content_hash,
+                     row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY content_hash) AS dup_count
+              FROM h
+            )
+            SELECT doc_id, content_hash, dup_count FROM g WHERE rn = 1 ORDER BY doc_id
+        """,
+        "minhash_signatures": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
+              FROM w
+            )
+            SELECT doc_id, perm, min(md5(shingle || '#p' || perm::VARCHAR)) AS minhash
+            FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm)
+            GROUP BY doc_id, perm ORDER BY doc_id, perm
+        """,
+        "lsh_pairs": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
+              FROM w
+            ), sig AS (
+              SELECT doc_id, perm, min(md5(shingle || '#p' || perm::VARCHAR)) AS minhash
+              FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm)
+              GROUP BY doc_id, perm
+            ), banded AS (
+              SELECT doc_id, perm // 2 AS band,
+                     array_to_string(list_sort(list(minhash)), '|') AS band_key
+              FROM sig GROUP BY doc_id, perm // 2
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM banded x JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+            WHERE x.doc_id < y.doc_id
+            ORDER BY a, b
+        """,
+        "jaccard_pairs": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
+              FROM w
+            ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+            WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.12
+            ORDER BY a, b
+        """,
+        "simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({words}) AS tok FROM documents
+            ), h AS (
+              SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+            ), bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM h, (SELECT unnest(generate_series(0, 31)) AS i)
+              GROUP BY doc_id, i
+            )
+            SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS simhash32
+            FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_sum(list_transform(generate_series(1, len(c.embedding)),
+                              i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+                              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                              i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS cos_raw
+              FROM c, q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cos_raw, 6) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "lsh_buckets": """
+            WITH b AS (
+              SELECT vec_id,
+                list_sum(list_transform(generate_series(0, 5), p ->
+                  CASE WHEN
+                    list_sum(list_transform(generate_series(1, len(embedding)), i ->
+                      embedding[i]::DOUBLE *
+                      (CASE WHEN substr(md5(p::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)))
+                    > 0
+                  THEN 1 << p ELSE 0 END))::BIGINT AS bucket
+              FROM embeddings
+            )
+            SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "label_centroid_sim": """
+            WITH pairs AS (
+              SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+                     list_cosine_similarity(a.embedding, b.embedding) AS cos
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+            )
+            SELECT label, count(*) AS n_pairs,
+                   sum(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) AS n_similar
+            FROM pairs GROUP BY label ORDER BY label
+        """,
+        "text_stats": f"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   length(text) AS n_chars,
+                   round(CASE WHEN len(words) > 0
+                         THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+                         ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                         ELSE 0.0 END, 6) AS punct_ratio,
+                   CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS regex_tokens
+            FROM w ORDER BY doc_id
+        """,
+        "text_quality": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-zA-Zà-ÿä-üá-ú]+'), x -> x != '') AS lw,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS words
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, words,
+                     CASE WHEN len(lw) > 0 THEN
+                       len(list_filter(lw, x -> x IN ('the','and','of','to','in','is','that','it','for','with','was','on')))::DOUBLE / len(lw)
+                     ELSE 0.0 END AS swr,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(words) > 0
+                          THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+                          ELSE 0.0 END AS mwl
+              FROM w
+            )
+            SELECT doc_id,
+                   round(
+                     0.3 * (CASE WHEN length(text) >= 200 THEN 1.0 WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN swr >= 0.2 THEN 1.0 WHEN swr >= 0.08 THEN 0.5 ELSE 0.0 END)
+                   + 0.2 * greatest(0.0, 1.0 - greatest(0.0, (pr - 0.15) * 4))
+                   + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END), 6) AS quality,
+                   round(swr, 6) AS stopword_ratio_en
+            FROM m ORDER BY doc_id
+        """,
+        "lang_id": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '[^a-zA-Zà-ÿä-üá-ú]+'), x -> x != '') AS lw
+              FROM documents
+            ), h AS (
+              SELECT doc_id, lang,
+                len(list_filter(lw, x -> x IN ('the','and','of','to','in','is','that','it','for','with','was','on'))) AS h_en,
+                len(list_filter(lw, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','den','von','zu'))) AS h_de,
+                len(list_filter(lw, x -> x IN ('le','la','les','et','est','des','une','dans','que','pour','qui','pas'))) AS h_fr,
+                len(list_filter(lw, x -> x IN ('el','la','los','las','es','una','por','con','para','del','como','pero'))) AS h_es
+              FROM w
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                        WHEN h_de > 0 AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+                        WHEN h_fr > 0 AND h_fr >= h_es THEN 'fr'
+                        WHEN h_es > 0 THEN 'es'
+                        ELSE 'und' END AS pred_lang,
+                   greatest(h_en, h_de, h_fr, h_es) AS sw_hits
+            FROM h ORDER BY doc_id
+        """,
+        "media_decode": """
+            WITH m AS (SELECT 'm' || doc_id::VARCHAR AS media_id, text, md5(text) AS hx FROM documents)
+            SELECT media_id,
+                   64 + ('0x' || substr(hx, 1, 2))::INT * 4 AS width,
+                   64 + ('0x' || substr(hx, 3, 2))::INT * 4 AS height,
+                   length(text)::BIGINT AS n_bytes,
+                   round((('0x' || substr(hx, 1, 2))::INT / 255.0), 6) AS f0,
+                   round((('0x' || substr(hx, 31, 2))::INT / 255.0), 6) AS f15
+            FROM m ORDER BY media_id
+        """,
+        "video_frames": """
+            SELECT doc_id, frame_idx FROM (
+              SELECT doc_id,
+                     unnest(generate_series(0, (length(text) // 50 + 1) - 1, 3)) AS frame_idx
+              FROM documents
+            ) ORDER BY doc_id, frame_idx
+        """,
+        "interleaved_spans": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, cast(ceil(len(words) / 10.0) AS INT) - 1),
+                       j -> {{'j': j, 'chunk': array_to_string(words[j*10+1 : j*10+10], ' ')}}) AS chunks
+              FROM w
+            ), sp AS (
+              SELECT doc_id,
+                     flatten(list_transform(chunks, s ->
+                       CASE WHEN s.j % 3 = 2 THEN
+                         [{{'kind': 'text', 'media_ref': '', 'tl': length(s.chunk)}},
+                          {{'kind': 'media', 'media_ref': '/img/' || doc_id::VARCHAR || '-' || s.j::VARCHAR, 'tl': 0}}]
+                       ELSE [{{'kind': 'text', 'media_ref': '', 'tl': length(s.chunk)}}] END)) AS spans
+              FROM ch
+            ), e AS (
+              SELECT doc_id, spans, unnest(generate_series(1, len(spans))) AS idx FROM sp
+            )
+            SELECT doc_id, (idx - 1)::INT AS "offset",
+                   spans[idx].kind AS kind,
+                   spans[idx].media_ref AS media_ref,
+                   spans[idx].tl AS text_len
+            FROM e ORDER BY doc_id, "offset"
+        """,
+    }

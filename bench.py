@@ -1,0 +1,219 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: URLs fetched+extracted/sec over the deterministic
+synthetic web (the BASELINE.json north metric), measured by running
+the full crawl engine (admission → fetch join → extract UDF → link
+discovery → state merge) until the reachable graph is exhausted.
+Plus wall-clock for a representative slice of the driver-contract
+queries at $SPARK_GRAFT_SF_DIR.
+
+Environment:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_CRAWL_PAGES    override synthetic-web size (default 600000*sf)
+
+Scaling-evidence mode (writes BENCH/BASELINE.md):
+  python bench.py --scaling        # runs the crawl at local[8] AND
+                                   # local[32] in fresh subprocesses,
+                                   # reports both + efficiency
+Single-run crawl mode (used by --scaling subprocesses):
+  python bench.py --crawl-only N   # crawl with local[N], print JSON
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
+    """Run the throughput crawl: politeness relaxed (large budgets —
+    it's a throughput benchmark; politeness parity is the correctness
+    suite's job), crawl the whole reachable graph."""
+    from crawl4ai_spark.plans.config import CrawlConfig
+    from crawl4ai_spark.plans.crawl import CrawlEngine
+    from crawl4ai_spark.session import get_spark
+    from crawl4ai_spark.sources.synthetic_web import (
+        WebConfig, robots_rows, seed_urls, synthetic_pages_df,
+    )
+
+    spark = get_spark(
+        app_name=f"crawl_bench_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    web = WebConfig(n_pages=n_pages, n_hosts=max(8, n_pages // 2500), seed=seed,
+                    richness=int(os.environ.get("BENCH_RICHNESS", "8")))
+    t0 = time.time()
+    pages = synthetic_pages_df(spark, web, num_partitions=cpus * 2)
+    pages = pages.persist()
+    pages.count()  # materialize the corpus before timing the crawl
+    gen_sec = time.time() - t0
+
+    robots = spark.createDataFrame(robots_rows(web))
+    # best_first: no BFS level barrier → the frontier drains in
+    # ~n_pages/global_budget large iterations; politeness budgets set
+    # above the global budget (throughput mode — the admission fast
+    # path proves the per-host cap can't bind and skips its shuffle).
+    batch = max(4096, n_pages // 2)
+    cfg = CrawlConfig(
+        mode="best_first", max_depth=256, max_pages=n_pages,
+        base_budget=batch, global_budget=batch,
+        max_iterations=128,
+    )
+    t1 = time.time()
+    res = CrawlEngine(spark, cfg, pages, robots).run(seed_urls(web, n_seeds=16))
+    crawl_sec = time.time() - t1
+    crawled = res.state.pages_crawled
+    out = {
+        "cpus": cpus,
+        "n_pages": n_pages,
+        "pages_crawled": crawled,
+        "iterations": res.state.iteration,
+        "gen_sec": round(gen_sec, 2),
+        "crawl_sec": round(crawl_sec, 2),
+        "urls_per_sec": round(crawled / crawl_sec, 2) if crawl_sec > 0 else 0.0,
+    }
+    spark.stop()
+    return out
+
+
+def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+    from crawl4ai_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="query_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    names = [
+        "pricing_summary", "admission_topk", "region_revenue", "events_hourly",
+        "events_sessionize", "dedup_exact", "minhash_signatures", "jaccard_pairs",
+        "simhash", "knn_cosine", "lsh_buckets", "text_stats", "text_quality",
+        "lang_id", "interleaved_spans", "url_canonicalize", "url_scores",
+        "media_decode",
+    ]
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+    spark.stop()
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    if "--crawl-only" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--crawl-only") + 1])
+        n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(600_000 * sf)))))
+        print(json.dumps(crawl_bench(n, n_pages)))
+        return
+
+    if "--scaling" in sys.argv:
+        run_scaling(sf)
+        return
+
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(600_000 * sf)))))
+    t_all = time.time()
+    crawl = crawl_bench(cpus, n_pages)
+    queries = query_bench(sf_dir, cpus)
+    total = round(time.time() - t_all, 2)
+    result = {
+        "metric": "urls_fetched_extracted_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": {**queries, "crawl_synthetic_web": crawl["crawl_sec"]},
+        "sf": sf,
+        "crawl": crawl,
+        "total_sec": total,
+    }
+    print(json.dumps(result))
+
+
+def run_scaling(sf: float) -> None:
+    """North-rule scaling evidence: the SAME crawl job at two
+    parallelism levels (the sandbox stand-in for N vs 4N executors),
+    throughput at both + efficiency.
+
+    Protocol notes:
+    - N=4, 4N=16 (not 8/32): the host has 32 vCPUs and every Spark
+      task thread is paired with a Python UDF worker process, so
+      local[32] would oversubscribe 2× and measure contention, not
+      scaling.  4+4 and 16+16 processes both fit in 32 vCPUs.
+    - best-of-`BENCH_SCALING_RUNS` (default 2) per level: the sandbox
+      VM shows double-digit% wall-clock noise between identical runs;
+      min-of-k is the standard noise filter.
+    """
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(600_000 * sf)))))
+    runs = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
+    n_lo, n_hi = 4, 16
+    results = {}
+    all_runs: dict[int, list[dict]] = {}
+    for cpus in (n_lo, n_hi):
+        best = None
+        all_runs[cpus] = []
+        for _ in range(runs):
+            cmd = [sys.executable, __file__, "--crawl-only", str(cpus)]
+            env = dict(os.environ, BENCH_CRAWL_PAGES=str(n_pages))
+            out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            all_runs[cpus].append(r)
+            if best is None or r["crawl_sec"] < best["crawl_sec"]:
+                best = r
+        results[cpus] = best
+    t_lo, t_hi = results[n_lo]["urls_per_sec"], results[n_hi]["urls_per_sec"]
+    efficiency = round((t_hi / t_lo) / (n_hi / n_lo), 3) if t_lo > 0 else 0.0
+    summary = {
+        "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
+        "value": efficiency,
+        "unit": "ratio",
+        "n_pages": n_pages,
+        f"local{n_lo}": results[n_lo],
+        f"local{n_hi}": results[n_hi],
+    }
+    print(json.dumps(summary))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH — throughput + scaling evidence\n\n"
+            "North rule: >=0.8 throughput scaling efficiency from N to 4N\n"
+            "parallelism.  Sandbox protocol: identical crawl job (same seed,\n"
+            f"same synthetic web, same config) at local[{n_lo}] vs local[{n_hi}]\n"
+            "(N and 4N task slots; chosen so JVM task threads + Python UDF\n"
+            "workers fit the host's 32 vCPUs at BOTH sizes — see bench.py),\n"
+            f"best of {runs} runs per level against sandbox VM noise.\n\n"
+            f"| config | pages crawled | crawl sec | URLs/sec |\n|---|---|---|---|\n"
+            f"| local[{n_lo}]  | {results[n_lo]['pages_crawled']} | {results[n_lo]['crawl_sec']} | {t_lo} |\n"
+            f"| local[{n_hi}] | {results[n_hi]['pages_crawled']} | {results[n_hi]['crawl_sec']} | {t_hi} |\n\n"
+            f"**Scaling efficiency (T{n_hi}/T{n_lo})/{n_hi // n_lo} = {efficiency}**\n\n"
+            f"Corpus: {n_pages} synthetic pages (seed 42, richness "
+            f"{os.environ.get('BENCH_RICHNESS', '8')}), politeness budgets\n"
+            "relaxed to throughput mode; fetch+extract pipeline identical at\n"
+            "both sizes.  All runs:\n\n"
+            + "\n".join(
+                f"- local[{c}]: " + ", ".join(f"{r['crawl_sec']}s" for r in all_runs[c])
+                for c in (n_lo, n_hi)
+            )
+            + "\n\nSee bench.py --scaling.\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

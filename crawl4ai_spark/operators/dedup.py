@@ -173,7 +173,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     sums = toks.groupBy(id_col).agg(*aggs)
     fp = F.lit(0).cast("long")
     for i in range(64):
-        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, IntegerType, LongType, MapType,
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, MapType,
     StringType, StructField, StructType,
 )
 
@@ -43,7 +43,9 @@ IMAGE_FEATURES_SCHEMA = StructType([
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("n_bytes", LongType()),
-    StructField("features", ArrayType(FloatType())),
+    # double, not float: feature values must survive a round(…, 6)
+    # comparison against an engine that computes in float64
+    StructField("features", ArrayType(DoubleType())),
 ])
 
 
@@ -52,17 +54,18 @@ def decode_image(blob: bytes, *, fake: bool = False) -> dict:
 
     Real decoding requires an image library this container doesn't
     ship; pass fake=True for the deterministic stand-in (dims and a
-    16-dim feature vector derived from sha1 of the bytes)."""
+    16-dim feature vector derived from md5 of the bytes — md5 so the
+    DuckDB correctness oracle can re-derive identical values)."""
     if not fake:
         raise NotImplementedError(
             "image decoding requires PIL/opencv (not in this container); "
             "use fake=True for the deterministic stand-in"
         )
-    digest = hashlib.sha1(blob or b"").digest()
-    rnd = np.frombuffer(digest[:16], dtype=np.uint8).astype(np.float32)
+    digest = hashlib.md5(blob or b"").digest()
+    rnd = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
     return {
-        "width": 64 + int(digest[16]) * 4,
-        "height": 64 + int(digest[17]) * 4,
+        "width": 64 + int(digest[0]) * 4,
+        "height": 64 + int(digest[1]) * 4,
         "n_bytes": len(blob or b""),
         "features": (rnd / 255.0).tolist(),
     }

@@ -80,14 +80,17 @@ def hyperplane_bucket(vec, n_planes: int = 8) -> Column:
     products packed into an int."""
     v = _col(vec)
     bucket = F.lit(0)
+
+    def _plane_cols(p: int):
+        # 1-arg closure on purpose: Spark HOF lambdas with 2 params
+        # receive (element, index), which would shadow `p`.
+        return F.transform(
+            F.sequence(F.lit(0), F.size(v) - 1), lambda i: _plane_component(p, i)
+        )
+
     for p in range(n_planes):
         dot = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1),
-                            lambda i, p=p: _plane_component(p, i)),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(v, _plane_cols(p), lambda x, w: x.cast("double") * w),
             F.lit(0.0), lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(0)

@@ -117,10 +117,15 @@ def lang_id(text) -> Column:
     words = _words_lower(text)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
+
+    def _hits(sw: list[str]):
+        # NOTE: a 1-arg closure, NOT a 2-arg lambda with a default —
+        # Spark HOF lambdas with 2 params receive (element, index).
+        return F.size(F.filter(words, lambda w: w.isin(sw)))
+
     # iterate in reversed priority so earlier languages win ties
     for lang in reversed(list(STOPWORDS)):
-        sw = STOPWORDS[lang]
-        hits = F.size(F.filter(words, lambda w, sw=sw: w.isin(sw)))
+        hits = _hits(STOPWORDS[lang])
         take = hits >= best_hits  # later-constructed (earlier-priority) wins ties
         best_lang, best_hits = (
             F.when(take & (hits > 0), F.lit(lang)).otherwise(best_lang),

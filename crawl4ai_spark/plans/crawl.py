@@ -31,6 +31,7 @@ order, seen set, docs spans and host-state trajectories.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -38,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 
 from crawl4ai_spark.extraction.udfs import extract_udf
 from crawl4ai_spark.functions.specs import compile_filters_column, compile_scorer_column
@@ -62,6 +63,59 @@ def resolve_abs_udf(href: pd.Series, base: pd.Series) -> pd.Series:
          for h, b in zip(href, base)],
         dtype=object,
     )
+
+
+LINK_PREP = StructType(
+    [
+        StructField("abs_url", StringType()),
+        StructField("canon", StringType()),
+        StructField("host", StringType()),
+        StructField("robots_ok", BooleanType()),
+    ]
+)
+
+
+def make_link_prep_udf(robots_map: dict[str, str] | None, user_agent: str):
+    """ONE fused pandas UDF for all per-link Python work: absolute
+    resolution, canonicalization, host extraction, robots evaluation.
+
+    Fusing matters: every separate pandas UDF in a stage is its own
+    ArrowEvalPython node with its own Python worker per task — four
+    chained UDFs at 32 tasks means ~128 concurrent Python processes
+    and the stage runs slower than single-threaded.  One node keeps
+    it at one worker per task.
+
+    robots_map is the collected (host → rules) dim — small by
+    assumption here (broadcast closure); at 10^8-host scale this
+    reverts to the dim-table join + UDF evaluation path."""
+    from urllib.parse import urljoin
+
+    from crawl4ai_spark.sources.robots import build_parser
+
+    @pandas_udf(LINK_PREP)
+    def link_prep_udf(href: pd.Series, base: pd.Series) -> pd.DataFrame:
+        parsers: dict[str, object] = {}
+        rows = []
+        for h, b in zip(href, base):
+            if not isinstance(h, str) or not isinstance(b, str):
+                rows.append((None, None, None, True))
+                continue
+            abs_url = urljoin(b, h.strip())
+            canon = canonicalize_for_crawl(h, b)
+            host = get_host(canon) if canon else None
+            ok = True
+            if robots_map is not None and host:
+                rules = robots_map.get(host)
+                if rules and rules.strip():
+                    p = parsers.get(host)
+                    if p is None:
+                        p = build_parser(rules)
+                        parsers[host] = p
+                    ok = bool(p.can_fetch(user_agent, canon))
+            rows.append((abs_url, canon, host, ok))
+        return pd.DataFrame(rows, columns=["abs_url", "canon", "host", "robots_ok"])
+
+    return link_prep_udf
 
 
 @dataclass
@@ -97,6 +151,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         store: SnapshotStore | None = None,
         checkpoint_every: int = 1,
+        verbose_timing: bool = False,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
@@ -104,7 +159,12 @@ class CrawlEngine:
         self.robots = robots
         self.store = store
         self.checkpoint_every = checkpoint_every
+        self.verbose_timing = verbose_timing
         self._can_fetch = make_can_fetch_udf(cfg.user_agent)
+        robots_map = None
+        if cfg.respect_robots and robots is not None:
+            robots_map = {r["host"]: r["rules"] for r in robots.select("host", "rules").collect()}
+        self._link_prep = make_link_prep_udf(robots_map, cfg.user_agent)
         self._order = (
             [F.asc("score"), F.asc("depth"), F.asc("seq")]
             if cfg.mode == "best_first"
@@ -154,6 +214,13 @@ class CrawlEngine:
         log = self._empty(self._LOG_COLS)
         return self._loop(frontier, seen, docs, log, state)
 
+    @staticmethod
+    def _union_parts(base: DataFrame, parts: list[DataFrame]) -> DataFrame:
+        out = base
+        for p in parts:
+            out = out.unionByName(p)
+        return out
+
     def resume(self) -> CrawlResultTables:
         """Continue from the store's latest committed snapshot
         (north rule: resumable from checkpoint)."""
@@ -175,13 +242,25 @@ class CrawlEngine:
 
     def _loop(self, frontier, seen, docs, log, state) -> CrawlResultTables:
         cfg = self.cfg
+        # docs/crawl_log are append-only and never read inside the loop:
+        # accumulate per-iteration parts, union at commit/return time
+        # (no per-iteration re-materialization of the growing tables).
+        docs_parts: list[DataFrame] = []
+        log_parts: list[DataFrame] = []
         while state.iteration < cfg.max_iterations and state.pages_crawled < cfg.max_pages:
-            out = self._iterate(frontier, seen, docs, log, state)
+            out = self._iterate(frontier, seen, state)
             if out is None:
                 break
-            frontier, seen, docs, log = out
+            frontier, seen, new_docs, new_log = out
+            docs_parts.append(new_docs)
+            log_parts.append(new_log)
             if self.store and state.iteration % self.checkpoint_every == 0:
+                docs = self._union_parts(docs, docs_parts).localCheckpoint(eager=True)
+                log = self._union_parts(log, log_parts).localCheckpoint(eager=True)
+                docs_parts, log_parts = [], []
                 self._commit(frontier, seen, docs, log, state)
+        docs = self._union_parts(docs, docs_parts)
+        log = self._union_parts(log, log_parts)
         if self.store:
             self._commit(frontier, seen, docs, log, state)
         return CrawlResultTables(frontier, seen, docs, log, state)
@@ -198,10 +277,19 @@ class CrawlEngine:
         )
 
     # ── one superstep ────────────────────────────────────────────────
-    def _iterate(self, frontier, seen, docs, log, state):
+    def _iterate(self, frontier, seen, state):
         cfg = self.cfg
         spark = self.spark
         iteration = state.iteration + 1
+
+        tmark = time.time()
+        timings: dict[str, float] = {}
+
+        def _mark(label: str) -> None:
+            nonlocal tmark
+            now = time.time()
+            timings[label] = round(now - tmark, 2)
+            tmark = now
 
         pending = frontier.filter(F.col("status") == "pending")
 
@@ -215,40 +303,76 @@ class CrawlEngine:
         # ── politeness admission window (P1): per-host budget rank,
         #    then global priority top-K ─────────────────────────────
         budgets = [(h, cfg.host_budget(d)) for h, (d, _f) in state.host_state.items()]
-        cands = pending
-        if budgets:
-            bdf = spark.createDataFrame(budgets, "host string, budget int")
-            cands = cands.join(F.broadcast(bdf), "host", "left")
-        else:
-            cands = cands.withColumn("budget", F.lit(None).cast("int"))
-        cands = cands.withColumn("budget", F.coalesce("budget", F.lit(cfg.base_budget)))
-
-        host_rank = F.row_number().over(Window.partitionBy("host").orderBy(*self._order))
         remaining = cfg.max_pages - state.pages_crawled
         global_budget = min(cfg.global_budget, remaining)
+
+        # Fast path: when every host budget ≥ the global budget the
+        # per-host cap provably cannot change the admitted set (any row
+        # ranked past its host cap is also past the global cut) — skip
+        # the extra shuffle+window.  This is the throughput-bench mode.
+        min_budget = min([b for _h, b in budgets], default=cfg.base_budget)
+        cap_can_bind = min(min_budget, cfg.base_budget) < global_budget
+        if cap_can_bind:
+            cands = pending
+            if budgets:
+                bdf = spark.createDataFrame(budgets, "host string, budget int")
+                cands = cands.join(F.broadcast(bdf), "host", "left")
+            else:
+                cands = cands.withColumn("budget", F.lit(None).cast("int"))
+            cands = cands.withColumn("budget", F.coalesce("budget", F.lit(cfg.base_budget)))
+            host_rank = F.row_number().over(Window.partitionBy("host").orderBy(*self._order))
+            cands = (
+                cands.withColumn("host_rank", host_rank)
+                .filter(F.col("host_rank") <= F.col("budget"))
+                .drop("budget", "host_rank")
+            )
+        else:
+            cands = pending
         batch = (
-            cands.withColumn("host_rank", host_rank)
-            .filter(F.col("host_rank") <= F.col("budget"))
-            .orderBy(*self._order)
+            cands.orderBy(*self._order)
             .limit(global_budget)
             .withColumn("batch_rank", F.row_number().over(Window.orderBy(*self._order)))
-            .drop("budget", "host_rank")
+        )
+        # The global rank window collapses to one partition — spread the
+        # batch back out before the heavy stages.  Partitioning is
+        # (host, salt): host-locality for connection reuse/pacing in a
+        # real fetch UDF, salted so a hot host can't serialize an
+        # iteration (SURVEY §4.2.1-2).
+        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        batch = batch.repartition(
+            n_parts, F.col("host"), F.pmod(F.coalesce("url_hash", F.lit(0)), F.lit(4 * n_parts))
         )
         batch = batch.localCheckpoint(eager=True)
+        _mark("admission")
         if batch.isEmpty():
             return None
         state.iteration = iteration
 
-        # ── synthetic fetch: batch ⟕ pages, one redirect hop (S5/S7) ─
+        # ── synthetic fetch: batch ⟕ pages, one redirect hop (S5/S7).
+        # Join strategy: the batch (small) is ALWAYS the broadcast/build
+        # side — the pages corpus (the wide html column) must never
+        # shuffle.  pages ⋉ broadcast(batch) is a scan + hash filter;
+        # the right-outer then broadcasts the batch again so the hit
+        # set streams.  (At production scale this join is replaced by
+        # the network fetch UDF; the shape stays batch-small.)
         p = self.pages.select("url", "status_code", "redirect_to", "html")
-        p2 = self.pages.select(
-            F.col("url").alias("rt_url"),
-            F.col("status_code").alias("rt_status"),
-            F.col("html").alias("rt_html"),
+        hits = p.join(F.broadcast(batch.select("url")), "url", "left_semi")
+        fetched = hits.join(F.broadcast(batch), "url", "right_outer")
+
+        rt_urls = (
+            fetched.filter((F.col("status_code") == 301) & F.col("redirect_to").isNotNull())
+            .select(F.col("redirect_to").alias("rt_url"))
         )
-        fetched = (
-            batch.join(p, "url", "left")
-            .join(p2, F.col("redirect_to") == F.col("rt_url"), "left")
+        p2 = (
+            p.join(F.broadcast(rt_urls), p.url == F.col("rt_url"), "left_semi")
+            .select(
+                F.col("url").alias("rt_url"),
+                F.col("status_code").alias("rt_status"),
+                F.col("html").alias("rt_html"),
+            )
+        )
+        fetched = fetched.join(
+            F.broadcast(p2), F.col("redirect_to") == F.col("rt_url"), "left"
         )
         is_redirect = (F.col("status_code") == 301) & F.col("redirect_to").isNotNull()
         fetched = fetched.select(
@@ -280,6 +404,7 @@ class CrawlEngine:
             .when(backoff, F.lit("gave_up"))
             .otherwise(F.lit("fetch_error")),
         ).localCheckpoint(eager=True)
+        _mark("fetch")
 
         # ── counters + host-state deltas (A4; driver-side, tiny) ─────
         agg = fetched.groupBy("host").agg(
@@ -294,12 +419,18 @@ class CrawlEngine:
                 state.host_state[r["host"]] = (min(cfg.max_delay, delay * cfg.backoff_factor), fails + 1)
             elif r["ok"] > 0:
                 state.host_state[r["host"]] = (max(cfg.base_delay, delay * cfg.decay_factor), 0)
+        _mark("host_agg")
 
         # ── extraction (E1-E4, fused Arrow UDF) on success rows ──────
         success = fetched.filter(F.col("outcome") == "success")
-        extracted = success.withColumn(
-            "ex", extract_udf(F.col("url"), F.col("eff_html"))
+        # project eff_html OUT before materializing: the extract struct
+        # is the only thing downstream needs, and html is the widest
+        # column in the pipeline
+        extracted = success.select(
+            "url", "batch_rank", "depth", "final_url",
+            extract_udf(F.col("url"), F.col("eff_html")).alias("ex"),
         ).localCheckpoint(eager=True)
+        _mark("extract")
 
         new_docs = extracted.select(
             F.col("url").alias("doc_id"),
@@ -333,20 +464,23 @@ class CrawlEngine:
                 )
             )
             cands = (
-                links.withColumn("abs_url", resolve_abs_udf("href", "final_url"))
-                .withColumn("canon", canonicalize_udf("href", "final_url"))
-                .filter(F.col("canon").isNotNull() & valid_crawl_url(F.col("abs_url")))
+                links.withColumn("p", self._link_prep("href", "final_url"))
+                .select(
+                    "parent_url", "batch_rank", "link_pos", "depth",
+                    F.col("p.abs_url").alias("abs_url"),
+                    F.col("p.canon").alias("canon"),
+                    F.col("p.host").alias("host"),
+                    F.col("p.robots_ok").alias("robots_ok"),
+                )
+                .filter(
+                    F.col("canon").isNotNull()
+                    & valid_crawl_url(F.col("abs_url"))
+                    & F.col("robots_ok")
+                )
+                .drop("robots_ok")
             )
             if cfg.filters:
                 cands = cands.filter(compile_filters_column(cfg.filters, F.col("abs_url")))
-            cands = cands.withColumn("host", host_udf("canon"))
-            if cfg.respect_robots and self.robots is not None:
-                cands = cands.join(
-                    F.broadcast(self.robots.select("host", "rules")), "host", "left"
-                ).filter(
-                    F.col("rules").isNull() | (F.trim("rules") == "") |
-                    self._can_fetch(F.col("rules"), F.col("canon"))
-                ).drop("rules")
             cands = cands.withColumn(
                 "score", compile_scorer_column(cfg.scorer, F.col("canon")).cast("double")
             )
@@ -364,6 +498,7 @@ class CrawlEngine:
             fresh = deduped.join(
                 seen.select(F.col("url").alias("canon")), "canon", "left_anti"
             ).localCheckpoint(eager=True)
+            _mark("candidates")
 
             # ALL valid fresh candidates enter seen (pre-trim quirk,
             # bfs_strategy.py:121-131)
@@ -373,20 +508,19 @@ class CrawlEngine:
                 F.lit(iteration).alias("first_iter"),
             )
 
-            # capacity trim (O4)
+            # capacity trim (O4) — rank-based filter, no count job; the
+            # predicate is a no-op whenever capacity exceeds the fresh
+            # set, so applying it unconditionally is always correct.
             capacity = cfg.max_pages - state.pages_crawled
-            n_new = fresh.count()
-            kept = fresh
-            if n_new > capacity:
-                if cfg.mode == "bfs" and cfg.scorer is not None:
-                    tw = Window.orderBy(F.desc("score"), F.asc("batch_rank"), F.asc("link_pos"))
-                else:
-                    tw = Window.orderBy(F.asc("batch_rank"), F.asc("link_pos"))
-                kept = (
-                    fresh.withColumn("trim_rank", F.row_number().over(tw))
-                    .filter(F.col("trim_rank") <= capacity)
-                    .drop("trim_rank")
-                )
+            if cfg.mode == "bfs" and cfg.scorer is not None:
+                tw = Window.orderBy(F.desc("score"), F.asc("batch_rank"), F.asc("link_pos"))
+            else:
+                tw = Window.orderBy(F.asc("batch_rank"), F.asc("link_pos"))
+            kept = (
+                fresh.withColumn("trim_rank", F.row_number().over(tw))
+                .filter(F.col("trim_rank") <= capacity)
+                .drop("trim_rank")
+            )
             # seq = discovery order (deterministic FIFO tiebreak, O9)
             sw = Window.orderBy(F.asc("batch_rank"), F.asc("link_pos"))
             new_entries = kept.select(
@@ -400,8 +534,9 @@ class CrawlEngine:
                 F.lit("pending").alias("status"),
                 F.lit(0).alias("retry_count"),
                 F.lit(iteration).alias("enqueue_iter"),
-            ).localCheckpoint(eager=True)
+            )  # derived from the checkpointed `fresh` — cheap to recompute
             state.next_seq += new_entries.count()
+            _mark("trim_seq")
 
         # ── frontier/seen/log merge (the MERGE INTO stand-in) ────────
         updated = fetched.select(
@@ -419,16 +554,14 @@ class CrawlEngine:
         if new_entries is not None:
             frontier_next = frontier_next.unionByName(new_entries)
         seen_next = seen.unionByName(new_seen) if new_seen is not None else seen
-        log_next = log.unionByName(
-            fetched.select(
-                F.lit(iteration).alias("iteration"), "url", "depth", "score",
-                "parent_url", "seq", "outcome", "batch_rank",
-            )
-        )
-        docs_next = docs.unionByName(new_docs)
+        new_log = fetched.select(
+            F.lit(iteration).alias("iteration"), "url", "depth", "score",
+            "parent_url", "seq", "outcome", "batch_rank",
+        ).localCheckpoint(eager=True)
 
         frontier_next = frontier_next.localCheckpoint(eager=True)
         seen_next = seen_next.localCheckpoint(eager=True)
-        docs_next = docs_next.localCheckpoint(eager=True)
-        log_next = log_next.localCheckpoint(eager=True)
-        return frontier_next, seen_next, docs_next, log_next
+        _mark("merge")
+        if self.verbose_timing:
+            print(f"[iter {iteration}] " + " ".join(f"{k}={v}s" for k, v in timings.items()))
+        return frontier_next, seen_next, new_docs, new_log

@@ -51,6 +51,9 @@ class WebConfig:
     island_share: float = 0.05   # trailing ids that are never linked to
     cross_host: float = 0.15     # probability a link leaves the host
     fault_every: int = 25        # 1/N pages get a non-200 status
+    richness: int = 1            # content multiplier: paragraphs/images
+                                 # per page scale ~linearly (richness 8
+                                 # ≈ a 20-25 KB real-web page)
 
     @property
     def n_reachable(self) -> int:
@@ -200,8 +203,8 @@ def page_html(i: int, cfg: WebConfig) -> str:
     url = canonical_url(i, cfg)
     title = f"{_WORDS[r % len(_WORDS)]} {_WORDS[(r >> 5) % len(_WORDS)]} {i}"
     targets = link_targets(i, cfg)
-    n_paras = 2 + (r >> 10) % 5
-    n_imgs = (r >> 16) % 4
+    n_paras = (2 + (r >> 10) % 5) * cfg.richness
+    n_imgs = ((r >> 16) % 4) * cfg.richness
     parts: list[str] = [
         "<!DOCTYPE html><html><head>",
         f"<title>{title}</title>",
