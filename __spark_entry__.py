@@ -512,6 +512,116 @@ def q_interleaved_spans(spark, sf_dir):
     ).orderBy("doc_id", "offset")
 
 
+# ── extended extraction surface (E9/E10/E12, A6, A8, S3) ─────────────
+
+def q_regex_entities(spark, sf_dir):
+    """Labeled regex entity extraction (E12) over document text."""
+    from crawl4ai_spark.extraction.regex_extract import regex_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    # synthesize entity-bearing text deterministically so matches exist
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org price $"), (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(".50 up "), (F.col("doc_id") % 100).cast("string"), F.lit("% on 2024-0"),
+            (F.col("doc_id") % 9 + 1).cast("string"), F.lit("-17"),
+        ).alias("text"),
+    )
+    out = regex_extract(enriched, labels=["email", "currency", "percentage", "date_iso"])
+    return out.groupBy("label").agg(F.count("*").alias("n_matches")).orderBy("label")
+
+
+def q_window_chunks(spark, sf_dir):
+    """Sliding-window chunking with overlap (E10): chunk rows per doc."""
+    from crawl4ai_spark.extraction.chunking import explode_chunks, window_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    out = explode_chunks(
+        docs.withColumn("text", norm), window_chunks("text", 20, 5)
+    )
+    return out.select(
+        "doc_id", "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q_table_extract(spark, sf_dir):
+    """Structured table extraction (E9) from synthesized page HTML."""
+    from crawl4ai_spark.extraction.tables import tables_from_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><table><caption>doc</caption>"
+              "<tr><th>key</th><th>value</th></tr>"
+              "<tr><td>id</td><td>"), F.col("doc_id").cast("string"),
+        F.lit("</td></tr><tr><td>lang</td><td>"), F.col("lang"),
+        F.lit("</td></tr></table></body></html>"),
+    )
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), html.alias("html"))
+    out = tables_from_pages(pages)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.element_at("headers", 2).alias("h2"),
+        F.element_at(F.element_at("rows", 1), 2).alias("id_cell"),
+        F.element_at(F.element_at("rows", 2), 2).alias("lang_cell"),
+        "score",
+    ).orderBy("doc_id")
+
+
+def q_bm25_rank(spark, sf_dir):
+    """Corpus BM25 relevance (A8/F6): score every document against a
+    fixed query, min-max normalized, top 50."""
+    from crawl4ai_spark.functions.bm25 import bm25_minmax, bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_minmax(bm25_scores(docs, "spark window batch"))
+    return (
+        scored.select("doc_id", F.round("bm25_norm", 6).alias("relevance"))
+        .orderBy(F.desc("relevance"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_term_stats(spark, sf_dir):
+    """Corpus term/document frequencies (A6) for the top-30 terms."""
+    from crawl4ai_spark.operators.adaptive import term_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_stats(docs).orderBy(F.desc("tf"), F.asc("term")).limit(30)
+
+
+def q_sitemap_seed(spark, sf_dir):
+    """Sitemap seeding pipeline (S3): synthesized per-source sitemap
+    XML → index expansion → nonsense filter → per-source URL counts."""
+    from crawl4ai_spark.sources.sitemap import seed_urls_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    # leaf sitemaps: one per source, listing that source's doc URLs
+    leaf = docs.groupBy("source").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.concat_ws(
+                "",
+                F.array_sort(F.collect_list(
+                    F.concat(F.lit("<url><loc>https://"), F.col("source"),
+                             F.lit(".example.test/docs/item-"),
+                             F.col("doc_id").cast("string"),
+                             F.lit("</loc></url>"))
+                )),
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.test/sitemap.xml")).alias("url"),
+    ).select("url", "xml")
+    roots = [r["url"] for r in leaf.select("url").collect()]
+    urls = seed_urls_pipeline(spark, leaf, sorted(roots), max_urls=1_000_000)
+    host = F.regexp_extract("url", r"https://([^/]+)/", 1)
+    return urls.groupBy(host.alias("host")).agg(F.count("*").alias("n_urls")).orderBy("host")
+
+
 # ── the crawl loop itself (iterative; no single-SQL oracle) ──────────
 
 def q_crawl_bfs(spark, sf_dir):
@@ -589,6 +699,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
         "interleaved_spans": q_interleaved_spans,
+        "regex_entities": q_regex_entities,
+        "window_chunks": q_window_chunks,
+        "table_extract": q_table_extract,
+        "bm25_rank": q_bm25_rank,
+        "term_stats": q_term_stats,
+        "sitemap_seed": q_sitemap_seed,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -924,6 +1040,70 @@ def oracle_sql() -> dict[str, str]:
                      unnest(generate_series(0, (length(text) // 50 + 1) - 1, 3)) AS frame_idx
               FROM documents
             ) ORDER BY doc_id, frame_idx
+        """,
+        "regex_entities": """
+            SELECT label, count(*) AS n_matches FROM (
+              SELECT unnest(['email','currency','percentage','date_iso']) AS label
+            ), documents
+            GROUP BY label ORDER BY label
+        """,
+        "window_chunks": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(0, greatest(cast(ceil((len(words) - 5) / 15.0) AS INT) - 1, 0)),
+                       j -> {{'j': j, 'l': length(array_to_string(words[j*15+1 : j*15+20], ' '))}}) AS chunks
+              FROM w
+            ), e AS (
+              SELECT doc_id, chunks, unnest(generate_series(1, len(chunks))) AS idx FROM ch
+            )
+            SELECT doc_id, (idx - 1)::INT AS chunk_idx, chunks[idx].l AS chunk_len
+            FROM e ORDER BY doc_id, chunk_idx
+        """,
+        "table_extract": """
+            SELECT doc_id, 'value' AS h2, doc_id::VARCHAR AS id_cell,
+                   lang AS lang_cell, 9 AS score
+            FROM documents ORDER BY doc_id
+        """,
+        "bm25_rank": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+              FROM documents
+            ), dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                             (SELECT avg(dl) FROM dl) AS avgdl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('spark','window','batch') GROUP BY doc_id, term
+            ), dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln((stats.n - dfreq.df + 0.5)/(dfreq.df + 0.5) + 1.0)
+                         * (tf.tf * 2.5) / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS bm25
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+              GROUP BY tf.doc_id
+            ), full_scored AS (
+              SELECT d.doc_id, coalesce(s.bm25, 0.0) AS bm25
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+            ), mm AS (SELECT min(bm25) AS lo, max(bm25) AS hi FROM full_scored)
+            SELECT doc_id,
+                   round(CASE WHEN mm.hi - mm.lo < 1e-12 THEN 0.5
+                              ELSE (bm25 - mm.lo)/(mm.hi - mm.lo) END, 6) AS relevance
+            FROM full_scored, mm
+            ORDER BY relevance DESC, doc_id ASC LIMIT 50
+        """,
+        "term_stats": """
+            SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
+              FROM documents
+            ) GROUP BY term ORDER BY tf DESC, term ASC LIMIT 30
+        """,
+        "sitemap_seed": """
+            SELECT source || '.example.test' AS host, count(*) AS n_urls
+            FROM documents GROUP BY source ORDER BY host
         """,
         "interleaved_spans": f"""
             WITH w AS (SELECT doc_id, {words} AS words FROM documents),

@@ -1,0 +1,116 @@
+"""Adaptive-crawl stopping metrics (A6/A7).
+
+Clean-room re-expression of the reference's adaptive crawler
+statistics (/root/reference/crawl4ai/adaptive_crawler.py:287-389,
+526-591): term/document frequencies over the growing knowledge base,
+then
+
+  coverage    = √(avg per-term df/N · (1 + 0.5·log-normalized tf))
+  consistency = avg pairwise Jaccard of document term sets
+  saturation  = 1 − recent-new-term rate / initial-new-term rate
+  confidence  = 0.4·coverage + 0.3·consistency + 0.3·saturation
+
+Everything is a DataFrame aggregate; pairwise Jaccard uses the
+shingle-join pattern (never a cross join) and caps the compared pair
+count like the reference samples pairs at scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.functions.bm25 import tokenize
+
+
+def term_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term, tf, df) over the corpus — A6."""
+    toks = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    return toks.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+
+
+def coverage(docs: DataFrame, query_terms: list[str],
+             text_col: str = "text", id_col: str = "doc_id") -> float:
+    """√(avg_t df_t/N · (1 + 0.5·min(1, ln(1+tf_t)/ln(10)))) over the
+    query terms (adaptive_crawler.py:287-330 semantics)."""
+    n = docs.count()
+    if n == 0 or not query_terms:
+        return 0.0
+    stats = term_stats(docs, text_col, id_col).filter(F.col("term").isin(query_terms))
+    rows = {r["term"]: (r["tf"], r["df"]) for r in stats.collect()}
+    total = 0.0
+    for t in query_terms:
+        tf, df = rows.get(t, (0, 0))
+        tf_norm = min(1.0, math.log(1 + tf) / math.log(10)) if tf else 0.0
+        total += (df / n) * (1 + 0.5 * tf_norm)
+    return math.sqrt(total / len(query_terms))
+
+
+def consistency(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                max_pairs: int = 10_000) -> float:
+    """Avg pairwise Jaccard of document term SETS via inverted-index
+    join (adaptive_crawler.py:331-360 semantics).  Pairs sharing no
+    term contribute 0 and are counted in the denominator."""
+    n = docs.count()
+    if n < 2:
+        return 1.0 if n == 1 else 0.0
+    terms = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("term")
+    )
+    sizes = terms.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        terms.alias("x").join(terms.alias("y"), "term")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .agg(F.count("*").alias("i"))
+        .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("nb")), "b")
+        .withColumn("j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .limit(max_pairs)
+    )
+    s = inter.agg(F.sum("j").alias("s")).collect()[0]["s"] or 0.0
+    total_pairs = n * (n - 1) // 2
+    return float(s) / total_pairs if total_pairs else 0.0
+
+
+def saturation(new_terms_history: list[int]) -> float:
+    """1 − recent/initial new-term rate (adaptive_crawler.py:361-380):
+    history = new distinct terms contributed by each crawled batch."""
+    if len(new_terms_history) < 2:
+        return 0.0
+    k = max(1, len(new_terms_history) // 3)
+    initial = sum(new_terms_history[:k]) / k
+    recent = sum(new_terms_history[-k:]) / k
+    if initial <= 0:
+        return 1.0
+    return max(0.0, min(1.0, 1.0 - recent / initial))
+
+
+def confidence(cov: float, cons: float, sat: float) -> float:
+    """0.4·coverage + 0.3·consistency + 0.3·saturation
+    (adaptive_crawler.py:381-389)."""
+    return 0.4 * cov + 0.3 * cons + 0.3 * sat
+
+
+def new_terms_per_iteration(docs: DataFrame, text_col: str = "text",
+                            iter_col: str = "iteration") -> list[int]:
+    """New-distinct-term count contributed by each crawl iteration —
+    the input to `saturation`.  One pass: per term, the first
+    iteration it appeared; then counts per iteration."""
+    first = (
+        docs.select(F.col(iter_col), F.explode(F.array_distinct(tokenize(text_col))).alias("term"))
+        .groupBy("term").agg(F.min(iter_col).alias("first_iter"))
+        .groupBy("first_iter").agg(F.count("*").alias("n_new"))
+        .orderBy("first_iter")
+        .collect()
+    )
+    if not first:
+        return []
+    by_iter = {r["first_iter"]: r["n_new"] for r in first}
+    lo, hi = min(by_iter), max(by_iter)
+    return [by_iter.get(i, 0) for i in range(lo, hi + 1)]

@@ -333,15 +333,6 @@ class CrawlEngine:
             .limit(global_budget)
             .withColumn("batch_rank", F.row_number().over(Window.orderBy(*self._order)))
         )
-        # The global rank window collapses to one partition — spread the
-        # batch back out before the heavy stages.  Partitioning is
-        # (host, salt): host-locality for connection reuse/pacing in a
-        # real fetch UDF, salted so a hot host can't serialize an
-        # iteration (SURVEY §4.2.1-2).
-        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        batch = batch.repartition(
-            n_parts, F.col("host"), F.pmod(F.coalesce("url_hash", F.lit(0)), F.lit(4 * n_parts))
-        )
         batch = batch.localCheckpoint(eager=True)
         _mark("admission")
         if batch.isEmpty():
@@ -373,6 +364,20 @@ class CrawlEngine:
         )
         fetched = fetched.join(
             F.broadcast(p2), F.col("redirect_to") == F.col("rt_url"), "left"
+        )
+        # Spread the fetched batch evenly BEFORE the heavy Python
+        # stages.  The broadcast join leaves it on the pages table's
+        # partitioning, and an iteration's admitted URLs cluster in
+        # page-id space (a crawl wave discovers neighbors), so without
+        # this one or two partitions hold most of the batch and the
+        # extract stage runs as a straggler (observed: 15 idle executor
+        # threads + 1 Python reader).  Partitioning is (host, salt):
+        # host-locality for connection reuse/pacing in a real fetch
+        # UDF, salted so a hot host can't serialize an iteration
+        # (SURVEY §4.2.1-2).
+        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        fetched = fetched.repartition(
+            n_parts, F.col("host"), F.pmod(F.coalesce("url_hash", F.lit(0)), F.lit(4 * n_parts))
         )
         is_redirect = (F.col("status_code") == 301) & F.col("redirect_to").isNotNull()
         fetched = fetched.select(

@@ -44,11 +44,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # 24g heap: the crawl loop holds a few GB of localCheckpoint
+        # blocks between natural GCs.  Do NOT set a short
+        # spark.cleaner.periodicGC.interval — it calls System.gc(),
+        # and a forced full GC on this heap stop-the-worlds for
+        # seconds (measured up to 46 s mid-crawl).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        # free dropped localCheckpoint blocks promptly (the crawl loop
-        # cuts lineage every iteration; without periodic GC the JVM can
-        # sit on gigabytes of dead block references between full GCs)
-        .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -1,0 +1,122 @@
+"""Sitemap source (S3) + URL seeding pipeline (SURVEY §3.4).
+
+Clean-room re-expression of the reference's AsyncUrlSeeder sitemap
+path (/root/reference/crawl4ai/async_url_seeder.py:765-957): probe
+/sitemap.xml, recurse nested <sitemapindex> levels, explode <urlset>
+entries, then filter (nonsense filter F8 + glob pattern), score
+(BM25 over head text, A8) and rank.
+
+In-sandbox there is no network, so the "fetch" of a sitemap URL is a
+lookup into a provided sitemaps table (url → xml body) — the same
+join-shape as the page fetch.  XML parsing is stdlib ElementTree in
+an Arrow UDF; recursion over index levels is a driver loop (sitemap
+trees are shallow — the reference recurses too).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+SITEMAP_ENTRY = StructType([
+    StructField("loc", StringType()),
+    StructField("kind", StringType()),   # 'url' | 'sitemap'
+])
+
+
+def parse_sitemap_py(xml_body: str) -> list[dict]:
+    """<urlset> → url entries; <sitemapindex> → nested sitemap refs.
+    Namespace-agnostic (the reference strips namespaces too)."""
+    out: list[dict] = []
+    if not xml_body or not xml_body.strip():
+        return out
+    try:
+        root = ET.fromstring(xml_body)
+    except ET.ParseError:
+        return out
+    tag = root.tag.split("}")[-1].lower()
+    child_kind = "sitemap" if tag == "sitemapindex" else "url"
+    for child in root:
+        for loc in child:
+            if loc.tag.split("}")[-1].lower() == "loc" and loc.text:
+                out.append({"loc": loc.text.strip(), "kind": child_kind})
+    return out
+
+
+@pandas_udf(ArrayType(SITEMAP_ENTRY))
+def parse_sitemap_udf(xml_body: pd.Series) -> pd.Series:
+    return pd.Series([parse_sitemap_py(x) for x in xml_body], dtype=object)
+
+
+def expand_sitemaps(
+    spark, sitemaps: DataFrame, roots: list[str], max_levels: int = 4
+) -> DataFrame:
+    """Resolve a seed list of sitemap URLs through nested indexes to
+    the full URL set.  `sitemaps` is (url string, xml string).
+    Returns (source_sitemap, url)."""
+    frontier = spark.createDataFrame([(r,) for r in roots], "url string")
+    urls_parts: list[DataFrame] = []
+    for _ in range(max_levels):
+        fetched = sitemaps.join(F.broadcast(frontier), "url", "left_semi")
+        entries = fetched.select(
+            F.col("url").alias("source_sitemap"),
+            F.explode(parse_sitemap_udf(F.col("xml"))).alias("e"),
+        ).select(
+            "source_sitemap",
+            F.col("e.loc").alias("loc"),
+            F.col("e.kind").alias("kind"),
+        ).localCheckpoint(eager=True)
+        urls_parts.append(
+            entries.filter(F.col("kind") == "url")
+            .select("source_sitemap", F.col("loc").alias("url"))
+        )
+        nested = entries.filter(F.col("kind") == "sitemap").select(
+            F.col("loc").alias("url")
+        )
+        if nested.isEmpty():
+            break
+        frontier = nested
+    out = urls_parts[0]
+    for p in urls_parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["url"])
+
+
+def seed_urls_pipeline(
+    spark,
+    sitemaps: DataFrame,
+    roots: list[str],
+    *,
+    query: str | None = None,
+    head_texts: DataFrame | None = None,   # (url, head_text) for BM25 scoring
+    pattern: str | None = None,
+    max_urls: int = 10_000,
+) -> DataFrame:
+    """The full seeding pipeline (async_url_seeder.urls semantics):
+    sitemap expansion → nonsense filter → optional glob pattern →
+    optional BM25 relevance vs `query` over head texts → rank/trim."""
+    from crawl4ai_spark.functions.bm25 import bm25_minmax, bm25_scores
+    from crawl4ai_spark.functions.filters import nonsense_url_filter, url_pattern_filter
+
+    urls = expand_sitemaps(spark, sitemaps, roots)
+    urls = urls.filter(nonsense_url_filter(F.col("url")))
+    if pattern:
+        urls = urls.filter(url_pattern_filter(F.col("url"), pattern))
+    if query and head_texts is not None:
+        scored = bm25_scores(
+            urls.join(head_texts, "url", "left")
+            .withColumn("head_text", F.coalesce("head_text", F.lit(""))),
+            query, text_col="head_text", id_col="url",
+        )
+        scored = bm25_minmax(scored)
+        return (
+            scored.select("url", F.col("bm25_norm").alias("relevance_score"))
+            .orderBy(F.desc("relevance_score"), F.asc("url"))
+            .limit(max_urls)
+        )
+    return urls.select("url").orderBy("url").limit(max_urls)
