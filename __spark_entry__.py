@@ -622,6 +622,50 @@ def q_sitemap_seed(spark, sf_dir):
     return urls.groupBy(host.alias("host")).agg(F.count("*").alias("n_urls")).orderBy("host")
 
 
+def q_head_parse(spark, sf_dir):
+    """Partial-<head> parsing (E15) over synthesized page heads."""
+    from crawl4ai_spark.extraction.headparse import parse_head_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html lang="'), F.col("lang"), F.lit('"><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><meta name="description" content="about '),
+        F.col("source"), F.lit('"></head><body>ignored</body></html>'),
+    )
+    out = docs.select("doc_id", parse_head_udf(html).alias("h"))
+    return out.select(
+        "doc_id",
+        F.col("h.title").alias("title"),
+        F.col("h.lang").alias("html_lang"),
+        F.element_at(F.col("h.meta"), "description").alias("description"),
+    ).orderBy("doc_id")
+
+
+def q_fit_markdown(spark, sf_dir):
+    """Pruning content filter (E5): boilerplate nav dropped, the
+    content paragraph survives verbatim (whitespace-normalized)."""
+    from crawl4ai_spark.extraction.pruning import make_fit_markdown_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><nav class="nav-menu"><a href="/">home</a>'
+              '<a href="/about">about</a></nav><p>'),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    fit = make_fit_markdown_udf()
+    out = docs.select(
+        "doc_id",
+        fit(F.col("doc_id").cast("string"), html).alias("fit_md"),
+    )
+    return out.select(
+        "doc_id",
+        F.length("fit_md").alias("fit_len"),
+        (F.instr("fit_md", "home") > 0).alias("has_nav_leak"),
+    ).orderBy("doc_id")
+
+
 # ── the crawl loop itself (iterative; no single-SQL oracle) ──────────
 
 def q_crawl_bfs(spark, sf_dir):
@@ -705,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": q_bm25_rank,
         "term_stats": q_term_stats,
         "sitemap_seed": q_sitemap_seed,
+        "head_parse": q_head_parse,
+        "fit_markdown": q_fit_markdown,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -1104,6 +1150,17 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_seed": """
             SELECT source || '.example.test' AS host, count(*) AS n_urls
             FROM documents GROUP BY source ORDER BY host
+        """,
+        "head_parse": """
+            SELECT doc_id, 'Doc ' || doc_id::VARCHAR AS title,
+                   lang AS html_lang,
+                   'about ' || source AS description
+            FROM documents ORDER BY doc_id
+        """,
+        "fit_markdown": f"""
+            SELECT doc_id, length({_NORM_SQL.replace("lower(trim(text))", "trim(text)")}) AS fit_len,
+                   false AS has_nav_leak
+            FROM documents ORDER BY doc_id
         """,
         "interleaved_spans": f"""
             WITH w AS (SELECT doc_id, {words} AS words FROM documents),

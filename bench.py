@@ -66,13 +66,18 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
     # above the global budget (throughput mode — the admission fast
     # path proves the per-host cap can't bind and skips its shuffle).
     batch = max(4096, n_pages // 2)
+    # max_retries=0: synthetic 429/503 pages carry no html and can never
+    # succeed, so retry rounds only add drain iterations to the bench.
     cfg = CrawlConfig(
         mode="best_first", max_depth=256, max_pages=n_pages,
         base_budget=batch, global_budget=batch,
-        max_iterations=128,
+        max_retries=0, max_iterations=128,
     )
     t1 = time.time()
-    res = CrawlEngine(spark, cfg, pages, robots).run(seed_urls(web, n_seeds=16))
+    res = CrawlEngine(
+        spark, cfg, pages, robots,
+        materialize_outputs=bool(int(os.environ.get("BENCH_MAT", "1"))),
+    ).run(seed_urls(web, n_seeds=256))
     crawl_sec = time.time() - t1
     crawled = res.state.pages_crawled
     out = {

@@ -152,6 +152,7 @@ class CrawlEngine:
         store: SnapshotStore | None = None,
         checkpoint_every: int = 1,
         verbose_timing: bool = False,
+        materialize_outputs: bool = False,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
@@ -160,6 +161,12 @@ class CrawlEngine:
         self.store = store
         self.checkpoint_every = checkpoint_every
         self.verbose_timing = verbose_timing
+        # Materialize per-iteration docs/log parts eagerly: releases the
+        # big fetched/extracted checkpoints for GC at the cost of two
+        # extra jobs per iteration.  Worth it on long runs / small
+        # heaps; off by default (lazy parts pin ~100-200 MB/iteration,
+        # fine inside a 24g driver for bench-scale runs).
+        self.materialize_outputs = materialize_outputs
         self._can_fetch = make_can_fetch_udf(cfg.user_agent)
         robots_map = None
         if cfg.respect_robots and robots is not None:
@@ -335,8 +342,6 @@ class CrawlEngine:
         )
         batch = batch.localCheckpoint(eager=True)
         _mark("admission")
-        if batch.isEmpty():
-            return None
         state.iteration = iteration
 
         # ── synthetic fetch: batch ⟕ pages, one redirect hop (S5/S7).
@@ -413,9 +418,13 @@ class CrawlEngine:
 
         # ── counters + host-state deltas (A4; driver-side, tiny) ─────
         agg = fetched.groupBy("host").agg(
+            F.count("*").alias("n"),
             F.sum(F.when(F.col("outcome") == "success", 1).otherwise(0)).alias("ok"),
             F.sum(F.when(F.col("outcome").isin("retry", "gave_up"), 1).otherwise(0)).alias("bad"),
         ).collect()
+        if not agg:  # empty batch — frontier exhausted (replaces isEmpty job)
+            state.iteration = iteration - 1
+            return None
         n_success = sum(r["ok"] for r in agg)
         state.pages_crawled += int(n_success)
         for r in agg:
@@ -526,8 +535,12 @@ class CrawlEngine:
                 .filter(F.col("trim_rank") <= capacity)
                 .drop("trim_rank")
             )
-            # seq = discovery order (deterministic FIFO tiebreak, O9)
+            # seq = (iteration << 32) + discovery index: deterministic
+            # FIFO tiebreak (O9) without a driver count — iterations are
+            # monotone, so ordering by seq ≡ ordering by (enqueue_iter,
+            # discovery order), exactly as a global counter would.
             sw = Window.orderBy(F.asc("batch_rank"), F.asc("link_pos"))
+            seq_base = F.shiftleft(F.lit(int(iteration)).cast("long"), 32)
             new_entries = kept.select(
                 F.col("canon").alias("url"),
                 F.xxhash64("canon").alias("url_hash"),
@@ -535,12 +548,11 @@ class CrawlEngine:
                 F.col("depth"),
                 F.col("score"),
                 F.col("parent_url"),
-                (F.row_number().over(sw) + F.lit(state.next_seq - 1)).cast("long").alias("seq"),
+                (seq_base + F.row_number().over(sw) - 1).cast("long").alias("seq"),
                 F.lit("pending").alias("status"),
                 F.lit(0).alias("retry_count"),
                 F.lit(iteration).alias("enqueue_iter"),
             )  # derived from the checkpointed `fresh` — cheap to recompute
-            state.next_seq += new_entries.count()
             _mark("trim_seq")
 
         # ── frontier/seen/log merge (the MERGE INTO stand-in) ────────
@@ -562,7 +574,9 @@ class CrawlEngine:
         new_log = fetched.select(
             F.lit(iteration).alias("iteration"), "url", "depth", "score",
             "parent_url", "seq", "outcome", "batch_rank",
-        ).localCheckpoint(eager=True)
+        )
+        if self.materialize_outputs:
+            new_log = new_log.localCheckpoint(eager=True)
 
         frontier_next = frontier_next.localCheckpoint(eager=True)
         seen_next = seen_next.localCheckpoint(eager=True)

@@ -93,7 +93,6 @@ def simulate_crawl(
         pending = [e for e in res.frontier.values() if e.status == "pending"]
         if not pending:
             break
-        res.iterations = iteration
 
         # ── admission window ────────────────────────────────────────
         if cfg.mode == "bfs":
@@ -117,6 +116,7 @@ def simulate_crawl(
             admitted.append(e)
         if not admitted:
             break
+        res.iterations = iteration
         res.admitted_sets.append([e.url for e in admitted])
 
         # ── pass 1: fetch all admitted (iteration-granular barrier,
@@ -210,10 +210,11 @@ def simulate_crawl(
                 keep = list(range(max(0, capacity)))
             new_entries = [new_entries[i] for i in keep]
 
-        # assign seq in discovery order and enqueue
-        for entry, _ in new_entries:
-            entry.seq = next_seq
-            next_seq += 1
+        # seq = (iteration << 32) + discovery index (mirrors the
+        # engine's counter-free scheme; ordering-equivalent to a global
+        # monotone counter)
+        for idx, (entry, _) in enumerate(new_entries):
+            entry.seq = (iteration << 32) + idx
             res.frontier[entry.url] = entry
 
         # ── host-state update (async_dispatcher.py:65-85 semantics,
