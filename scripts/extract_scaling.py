@@ -19,6 +19,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def run_one(cpus: int, n_pages: int, richness: int) -> dict:
     from pyspark.sql import functions as F
