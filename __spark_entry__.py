@@ -301,7 +301,7 @@ def q_jaccard_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.12)
+        jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.12, max_df=60)
         .withColumn("jaccard", F.round("jaccard", 6))
         .orderBy("a", "b")
     )
@@ -666,6 +666,56 @@ def q_fit_markdown(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_css_extract(spark, sf_dir):
+    """JSON-CSS schema extraction (E11): deterministic HTML built from
+    the documents columns, extracted with a {baseSelector, fields[]}
+    schema (attribute/text/transform/regex field types, child
+    combinator), round-tripping back to the source columns.
+    Reference semantics: extraction_strategy.py:804-1242."""
+    from crawl4ai_spark.extraction.css_schema import css_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    body_src = F.substring(
+        F.regexp_replace("text", r'[<>&"\s]+', " "), 1, 120
+    )
+    html = F.concat(
+        F.lit('<article class="doc" data-id="'), F.col("doc_id").cast("string"),
+        F.lit('"><h2 class="title">Doc '), F.col("doc_id").cast("string"),
+        F.lit('</h2><span class="lang">'), F.col("lang"),
+        F.lit('</span><div class="body"><p>'), body_src,
+        F.lit('</p></div><a class="src" href="https://ex.test/'), F.col("source"),
+        F.lit("/"), F.col("doc_id").cast("string"), F.lit('">src</a></article>'),
+    )
+    schema = {
+        "baseSelector": "article.doc",
+        "baseFields": [{"name": "pid", "type": "attribute", "attribute": "data-id"}],
+        "fields": [
+            {"name": "title", "type": "text", "selector": "h2.title"},
+            {"name": "lang_lc", "type": "text", "selector": "span.lang",
+             "transform": "lowercase"},
+            {"name": "body", "type": "text", "selector": "div.body > p"},
+            {"name": "href", "type": "attribute", "selector": "a.src",
+             "attribute": "href"},
+            {"name": "num", "type": "regex", "selector": "h2.title",
+             "pattern": r"Doc (\d+)"},
+        ],
+    }
+    pages = docs.select("doc_id", html.alias("html"))
+    out = css_extract(pages, schema, "html", "items")
+    return (
+        out.select(F.explode("items").alias("it"))
+        .select(
+            F.col("it.pid").alias("pid"),
+            F.col("it.title").alias("title"),
+            F.col("it.lang_lc").alias("lang_lc"),
+            F.col("it.body").alias("body"),
+            F.col("it.href").alias("href"),
+            F.col("it.num").alias("num"),
+        )
+        .orderBy(F.col("pid").cast("long"))
+    )
+
+
 # ── the crawl loop itself (iterative; no single-SQL oracle) ──────────
 
 def q_crawl_bfs(spark, sf_dir):
@@ -751,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed": q_sitemap_seed,
         "head_parse": q_head_parse,
         "fit_markdown": q_fit_markdown,
+        "css_extract": q_css_extract,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -876,7 +927,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props": """
             SELECT event_type, count(*) AS n,
-                   sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT) AS sum_k
+                   sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT)::BIGINT AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "dedup_exact": f"""
@@ -931,9 +982,20 @@ def oracle_sql() -> dict[str, str]:
                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
               FROM w
             ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            dfreq AS (SELECT shingle, count(*) AS dfx FROM sh GROUP BY shingle),
+            rare AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN dfreq ON sh.shingle = dfreq.shingle WHERE dfreq.dfx <= 60
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM rare x JOIN rare y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            ),
             inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh sx ON sx.doc_id = c.a
+              JOIN sh sy ON sy.doc_id = c.b AND sy.shingle = sx.shingle
               GROUP BY 1, 2
             )
             SELECT a, b, round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
@@ -998,7 +1060,7 @@ def oracle_sql() -> dict[str, str]:
                 ON a.label = b.label AND a.vec_id < b.vec_id
             )
             SELECT label, count(*) AS n_pairs,
-                   sum(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END) AS n_similar
+                   sum(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_similar
             FROM pairs GROUP BY label ORDER BY label
         """,
         "text_stats": f"""
@@ -1160,6 +1222,15 @@ def oracle_sql() -> dict[str, str]:
         "fit_markdown": f"""
             SELECT doc_id, length({_NORM_SQL.replace("lower(trim(text))", "trim(text)")}) AS fit_len,
                    false AS has_nav_leak
+            FROM documents ORDER BY doc_id
+        """,
+        "css_extract": r"""
+            SELECT doc_id::VARCHAR AS pid,
+                   'Doc ' || doc_id::VARCHAR AS title,
+                   lower(lang) AS lang_lc,
+                   trim(substr(regexp_replace(text, '[<>&"\s]+', ' ', 'g'), 1, 120)) AS body,
+                   'https://ex.test/' || source || '/' || doc_id::VARCHAR AS href,
+                   doc_id::VARCHAR AS num
             FROM documents ORDER BY doc_id
         """,
         "interleaved_spans": f"""

@@ -89,18 +89,16 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     """(id, perm, minhash): k permutations per document.  Long layout
     (not a signature array) so banding is a groupBy, not an explode."""
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
-    per_perm = [
-        sh.select(
-            id_col,
-            F.lit(p).alias("perm"),
-            _minhash_fn(F.col("shingle"), p).alias("h"),
-        )
-        for p in range(num_perm)
-    ]
-    allp = per_perm[0]
-    for other in per_perm[1:]:
-        allp = allp.unionByName(other)
-    return allp.groupBy(id_col, "perm").agg(F.min("h").alias("minhash"))
+    # One pass over the exploded shingle table: k min-aggregates in a
+    # single groupBy (one shuffle), then a narrow stack() unpivot back to
+    # the long layout.  (Round 1 unioned num_perm copies of the explode —
+    # num_perm shuffles of the full shingle volume.)
+    aggs = [F.min(_minhash_fn(F.col("shingle"), p)).alias(f"_m{p}") for p in range(num_perm)]
+    wide = sh.groupBy(id_col).agg(*aggs)
+    stack = "stack({}, {}) as (perm, minhash)".format(
+        num_perm, ", ".join(f"{p}, _m{p}" for p in range(num_perm))
+    )
+    return wide.select(F.col(id_col), F.expr(stack))
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
@@ -127,21 +125,56 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   shingle_n: int = 3, threshold: float = 0.8,
-                  candidates: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard over word-shingle sets.  With `candidates`
-    ((a,b) pairs), verifies only those; otherwise all pairs sharing ≥1
-    shingle (inverted-index join — never a full cross join)."""
+                  candidates: DataFrame | None = None,
+                  max_df: int | None = None) -> DataFrame:
+    """Exact Jaccard over word-shingle sets.
+
+    Candidate generation (who gets compared):
+      - `candidates` given → verify exactly those (a, b) pairs.
+      - `max_df` given → pairs sharing ≥1 *rare* shingle (document
+        frequency ≤ max_df).  The hot-shingle cutoff is the scale guard:
+        a stop-shingle appearing in 10^6 docs would otherwise make the
+        inverted-index self-join quadratic.  Pairs whose overlap is ONLY
+        hot shingles are skipped — at high thresholds those can't pass
+        anyway unless both docs are mostly boilerplate.
+      - neither → all pairs sharing ≥1 shingle (full inverted index).
+
+    Intersection counts are always exact over the FULL shingle sets of
+    the candidate pairs (candidate-driven double equi-join, bounded by
+    |candidates| × shingles-per-doc — never candidates × corpus)."""
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
+
+    if candidates is None and max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        rare = sh.join(
+            dfreq.filter(F.col("_df") <= max_df).select("shingle"), "shingle", "left_semi"
+        )
+        candidates = (
+            rare.alias("x")
+            .join(rare.alias("y"), "shingle")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+            .distinct()
+        )
+
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        inter = (
+            candidates.join(
+                sh.select(F.col(id_col).alias("a"), "shingle"), "a"
+            )
+            .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            sh.alias("x")
+            .join(sh.alias("y"), "shingle")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+            .agg(F.count("*").alias("inter"))
+        )
     pairs = (
         inter.join(sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb")), "b")

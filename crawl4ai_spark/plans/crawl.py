@@ -1,121 +1,193 @@
 """The distributed crawl loop: level-synchronous supersteps over
 snapshot-versioned state tables.
 
-Each iteration is ONE declarative DataFrame DAG (SURVEY §3.3):
+Each superstep is FOUR Spark jobs (down from ~8 in round 1 — the
+per-superstep driver-job floor was the measured scaling bottleneck):
 
-    batch   = pending frontier
-                → per-host admission window (politeness budget, P1)
-                → global priority top-K                       [shuffle: by host]
-    fetched = batch ⟕ pages (synthetic fetch, broadcast batch)
-                ⟕ pages (one redirect hop) ⟕ robots (broadcast)
-    docs    = success rows → extract_udf (Arrow-batched)      [no shuffle]
-    cands   = posexplode(links) → resolve/canonicalize UDF
-                → native filter chain → scorer column
-                → within-iteration dedup (window by canon)
-                → anti-join seen                              [shuffle: by url]
-    commit  : frontier ⊖ batch ⊕ updates ⊕ trimmed new, seen ⊕ new,
-              docs ⊕ extracted, host-state backoff/decay, crawl log.
+    job 1  batch      admission: per-host politeness cap (keyed
+                      window) + exact parallel global top-K
+                      (plans.rank — no single-task stage)
+    job 2  step       fetch join (corpus never shuffles) → ONE fused
+                      Arrow UDF (robots gate + extraction + per-link
+                      canonicalize/robots prep) → outcome
+    job 3  (collect)  per-host outcome counts + link upper bound —
+                      a tiny agg on the cached step
+    job 4  frontier   candidate explode → native filter/score →
+                      hash-keyed dedup + anti-join (8-byte shuffle
+                      keys, optional blocked-bloom prefilter) →
+                      trim/seq (arithmetic, windowless) → merge
 
-Scale design: the frontier/seen anti-join shuffles only (url, hash)
-pairs; the admission window bounds per-iteration work to
-global_budget regardless of frontier size; hot-host skew is bounded
-FIRST by the per-host budget (the politeness cap is the primary skew
-control, SURVEY §4.2.2) and residual skew is AQE's job.  Ordering
-parity with the reference is deterministic: (score, depth, seq)
-priority with seq = discovery order, no timestamps.
+State design: ONE frontier table subsumes the URL-seen set — every
+discovered URL keeps a row forever (status pending/done/failed/
+trimmed), so "seen" ≡ frontier.url and the seen anti-join is against
+the frontier itself.  The anti-join ships ONLY xxhash64 keys from the
+frontier side (hash equality is treated as URL identity: at 10^10
+URLs the expected number of colliding 64-bit pairs is ~0.003, and a
+collision degrades to one URL never being crawled — the same error
+class the reference's bloom-filter traversal accepts at 1% FP,
+deep_crawling/crazy.py:53).  A split-block bloom derived from the
+frontier in-plan (operators.bloom.blocked_bloom_*, no driver collect)
+routes definitely-new candidates around the anti-join entirely.
+
+seq is arithmetic — (iteration << 40) | (batch_rank << 16) |
+link_pos — monotone in discovery order with NO global window; the
+capacity trim uses plans.rank.with_global_rank (exact, parallel) and
+is skipped whenever the driver-known link upper bound proves it
+cannot bind.  Ordering parity with the reference is deterministic:
+(score, depth, seq) priority, no timestamps.
+
+Scale notes (10^10 frontier, 1000 executors):
+- the pages-corpus join streams the corpus through a broadcast semi
+  probe; the corpus itself never shuffles, only the admitted batch;
+- per-superstep shuffle of the frontier is O(n) hashes; the next
+  step beyond this is bucketed/Iceberg storage so the seen side
+  keeps its partitioning across supersteps (store.py docstring);
+- host backoff state lives driver-side as a dict (tiny at sandbox
+  scale); at 10^8 hosts it becomes a MERGE'd dim table — the agg
+  that feeds it is already computed distributed;
+- the fused UDF means one Python worker per task, and the explicit
+  repartition before it pins the stage width to the configured
+  parallelism (AQE's advisory-size coalescing would otherwise shrink
+  an html-heavy 200 MB batch to ~4 tasks).
 
 Parity oracle: crawl4ai_spark.testing.simulator implements identical
 semantics sequentially; tests assert equality of admitted sets, crawl
-order, seen set, docs spans and host-state trajectories.
+order, seen set, docs spans, host-state trajectories and terminal
+frontier status.  Reference anchors: BFS level loop
+bfs_strategy.py:142-192, best-first bff_strategy.py:129-213, rate
+limiter async_dispatcher.py:28-85, robots gate
+async_webcrawler.py:318-331.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from crawl4ai_spark.extraction.udfs import extract_udf
+from crawl4ai_spark.extraction.udfs import EXTRACT_RESULT, extract_one
 from crawl4ai_spark.functions.specs import compile_filters_column, compile_scorer_column
 from crawl4ai_spark.functions.filters import valid_crawl_url
-from crawl4ai_spark.functions.udfs import canonicalize_udf, host_udf
 from crawl4ai_spark.functions.urlnorm import canonicalize_for_crawl, get_host, is_valid_crawl_url
+from crawl4ai_spark.operators.bloom import blocked_bloom_build, blocked_bloom_probe
 from crawl4ai_spark.plans.config import BACKOFF_CODES, CrawlConfig
+from crawl4ai_spark.plans.rank import with_bucketed_rank, with_global_rank
 from crawl4ai_spark.plans.state import SnapshotStore
-from crawl4ai_spark.sources.robots import make_can_fetch_udf
 
+# seq bit budget: 23 bits iteration | 24 bits batch_rank | 16 bits
+# link_pos, i.e. ≤16.7M admissions/superstep and ≤65k links/page
+# (beyond-cap link positions clamp, which can only merge the ordering
+# of two links of one pathological page).
+_SEQ_ITER_SHIFT = 40
+_SEQ_RANK_SHIFT = 16
+_SEQ_POS_MAX = (1 << 16) - 1
 
-@pandas_udf(StringType())
-def resolve_abs_udf(href: pd.Series, base: pd.Series) -> pd.Series:
-    """Absolute resolution of a raw href against the page URL — the
-    form the reference applies filters to (link_discovery passes the
-    scraped absolute href to can_process_url)."""
-    from urllib.parse import urljoin
-
-    return pd.Series(
-        [urljoin(b, h.strip()) if isinstance(h, str) and isinstance(b, str) else None
-         for h, b in zip(href, base)],
-        dtype=object,
-    )
-
-
-LINK_PREP = StructType(
-    [
-        StructField("abs_url", StringType()),
-        StructField("canon", StringType()),
-        StructField("host", StringType()),
+STEP_EX = StructType(
+    list(EXTRACT_RESULT.fields)
+    + [
         StructField("robots_ok", BooleanType()),
+        StructField(
+            "plinks",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("link_pos", IntegerType()),
+                        StructField("abs_url", StringType()),
+                        StructField("canon", StringType()),
+                        StructField("host", StringType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
 
 
-def make_link_prep_udf(robots_map: dict[str, str] | None, user_agent: str):
-    """ONE fused pandas UDF for all per-link Python work: absolute
-    resolution, canonicalization, host extraction, robots evaluation.
+def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
+    """ONE fused Arrow UDF for all per-page Python work: the fetch
+    robots gate, scrape→markdown→spans extraction, and per-link
+    resolution/canonicalization/robots prep.
 
-    Fusing matters: every separate pandas UDF in a stage is its own
-    ArrowEvalPython node with its own Python worker per task — four
-    chained UDFs at 32 tasks means ~128 concurrent Python processes
-    and the stage runs slower than single-threaded.  One node keeps
-    it at one worker per task.
+    Fusing matters twice over: every separate pandas UDF in a stage is
+    its own ArrowEvalPython node with its own Python worker per task
+    (three chained UDFs at 32 tasks ≈ 96 concurrent Python processes),
+    and separate nodes pay Arrow serialization of the ~9 KB html per
+    hop.  One node, one worker, one transfer.
 
     robots_map is the collected (host → rules) dim — small by
     assumption here (broadcast closure); at 10^8-host scale this
-    reverts to the dim-table join + UDF evaluation path."""
-    from urllib.parse import urljoin
+    reverts to a dim-table join feeding the same UDF.
 
+    Link-level checks are order-independent (no side effects before
+    the seen-set insert), so dropping robots-blocked / null-canon
+    links here instead of after the native filters is semantics-
+    preserving (testing.simulator keeps the reference's check order).
+    """
     from crawl4ai_spark.sources.robots import build_parser
 
-    @pandas_udf(LINK_PREP)
-    def link_prep_udf(href: pd.Series, base: pd.Series) -> pd.DataFrame:
+    @pandas_udf(STEP_EX)
+    def step_udf(
+        url: pd.Series, host: pd.Series, final_url: pd.Series,
+        html: pd.Series, eff_status: pd.Series,
+    ) -> pd.DataFrame:
         parsers: dict[str, object] = {}
-        rows = []
-        for h, b in zip(href, base):
-            if not isinstance(h, str) or not isinstance(b, str):
-                rows.append((None, None, None, True))
-                continue
-            abs_url = urljoin(b, h.strip())
-            canon = canonicalize_for_crawl(h, b)
-            host = get_host(canon) if canon else None
-            ok = True
-            if robots_map is not None and host:
-                rules = robots_map.get(host)
-                if rules and rules.strip():
-                    p = parsers.get(host)
-                    if p is None:
-                        p = build_parser(rules)
-                        parsers[host] = p
-                    ok = bool(p.can_fetch(user_agent, canon))
-            rows.append((abs_url, canon, host, ok))
-        return pd.DataFrame(rows, columns=["abs_url", "canon", "host", "robots_ok"])
 
-    return link_prep_udf
+        def allowed(u: str, h: str | None) -> bool:
+            if robots_map is None or not h:
+                return True
+            rules = robots_map.get(h)
+            if not rules or not rules.strip():
+                return True
+            p = parsers.get(h)
+            if p is None:
+                p = build_parser(rules)
+                parsers[h] = p
+            return bool(p.can_fetch(user_agent, u))
+
+        empty = extract_one("", None)
+        rows = []
+        for u, h, fu, htm, st in zip(url, host, final_url, html, eff_status):
+            ok = allowed(u, h)
+            if not ok or st != 200 or not isinstance(htm, str):
+                rows.append({**empty, "robots_ok": ok, "plinks": []})
+                continue
+            ex = extract_one(u, htm)
+            plinks = []
+            for pos, link in enumerate(ex["links"]):
+                href = link["href"]
+                if not isinstance(href, str):
+                    continue
+                canon = canonicalize_for_crawl(href, fu)
+                if not canon:
+                    continue
+                if not allowed(canon, get_host(canon)):
+                    continue
+                from urllib.parse import urljoin
+
+                plinks.append(
+                    {
+                        "link_pos": min(pos, _SEQ_POS_MAX),
+                        "abs_url": urljoin(fu, href.strip()),
+                        "canon": canon,
+                        "host": get_host(canon),
+                    }
+                )
+            rows.append({**ex, "robots_ok": True, "plinks": plinks})
+        return pd.DataFrame(rows)
+
+    return step_udf
 
 
 @dataclass
@@ -129,8 +201,8 @@ class CrawlState:
 
 @dataclass
 class CrawlResultTables:
-    frontier: DataFrame
-    seen: DataFrame
+    frontier: DataFrame    # live rows only (status != trimmed)
+    seen: DataFrame        # (url, url_hash, first_iter) view
     docs: DataFrame
     crawl_log: DataFrame
     state: CrawlState
@@ -141,7 +213,7 @@ class CrawlEngine:
 
     `pages` must be a materialized source (parquet-backed or cached):
     it is joined every iteration.  `robots` is a small dim table
-    (host, rules) — broadcast."""
+    (host, rules), collected into the fused UDF's closure."""
 
     def __init__(
         self,
@@ -153,34 +225,78 @@ class CrawlEngine:
         checkpoint_every: int = 1,
         verbose_timing: bool = False,
         materialize_outputs: bool = False,
+        bloom_prefilter: bool = False,
+        capture_plans: bool = False,
+        partition_pages: bool = True,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
+        self._n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # Co-partition the corpus by url ONCE: the per-iteration fetch
+        # join then shuffles only the (tiny) batch side — the cached
+        # InMemoryRelation exposes HashPartitioning(url) to Catalyst,
+        # so the corpus side never exchanges again.  (At production
+        # scale this is the bucketed-storage / storage-partitioned-
+        # join analogue; the synthetic corpus stands in for it.)
+        p = pages.select("url", "status_code", "redirect_to", "html")
+        # Pre-resolve the one-hop redirect target ONCE: the per-
+        # iteration plan then needs a single fetch join instead of a
+        # second corpus scan per superstep.  Redirect targets are a
+        # small slice of the corpus → broadcast; non-redirect rows
+        # never shuffle (a plain left join on redirect_to would hash
+        # every null key into one partition).
+        rt_targets = p.join(
+            F.broadcast(
+                p.filter((F.col("status_code") == 301) & F.col("redirect_to").isNotNull())
+                .select(F.col("redirect_to").alias("rt_url"))
+                .distinct()
+            ),
+            p.url == F.col("rt_url"),
+            "left_semi",
+        ).select(
+            F.col("url").alias("rt_url"),
+            F.col("status_code").alias("rt_status"),
+            F.col("html").alias("rt_html"),
+        )
+        pages_eff = p.join(
+            F.broadcast(rt_targets), F.col("redirect_to") == F.col("rt_url"), "left"
+        ).drop("rt_url")
+        if partition_pages:
+            pages_eff = pages_eff.repartition(self._n_parts, "url").persist()
+        self.pages_eff = pages_eff
         self.pages = pages
         self.robots = robots
         self.store = store
         self.checkpoint_every = checkpoint_every
         self.verbose_timing = verbose_timing
-        # Materialize per-iteration docs/log parts eagerly: releases the
-        # big fetched/extracted checkpoints for GC at the cost of two
+        # Materialize per-iteration docs/log parts eagerly: releases
+        # the per-iteration step checkpoints for GC at the cost of two
         # extra jobs per iteration.  Worth it on long runs / small
-        # heaps; off by default (lazy parts pin ~100-200 MB/iteration,
-        # fine inside a 24g driver for bench-scale runs).
+        # heaps; off by default.
         self.materialize_outputs = materialize_outputs
-        self._can_fetch = make_can_fetch_udf(cfg.user_agent)
+        self.bloom_prefilter = bloom_prefilter
+        self.capture_plans = capture_plans
+        # bloom sizing: target ~2 keys/word (FP ≈ 2.4e-4).  max_pages
+        # bounds crawled pages, not seen URLs; seen is typically a few
+        # × crawled, and overload only raises FP (never correctness).
+        cap = min(max(cfg.max_pages, 1), 1 << 24)
+        self._bloom_words = max(1 << 12, cap)
         robots_map = None
         if cfg.respect_robots and robots is not None:
             robots_map = {r["host"]: r["rules"] for r in robots.select("host", "rules").collect()}
-        self._link_prep = make_link_prep_udf(robots_map, cfg.user_agent)
+        self._step_udf = make_step_udf(robots_map, cfg.user_agent)
         self._order = (
             [F.asc("score"), F.asc("depth"), F.asc("seq")]
             if cfg.mode == "best_first"
             else [F.asc("seq")]
         )
+        self.last_plans: dict[str, str] = {}   # debug: physical plans per phase
 
     # ── schema helpers ───────────────────────────────────────────────
+    # status domain: pending | done | failed | trimmed.  "trimmed"
+    # rows ARE the seen-but-never-enqueued URLs (capacity trim); they
+    # make frontier ⊇ seen so no separate seen table exists.
     _FRONTIER_COLS = "url string, url_hash long, host string, depth int, score double, parent_url string, seq long, status string, retry_count int, enqueue_iter int"
-    _SEEN_COLS = "url string, url_hash long, first_iter int"
     _DOCS_COLS = (
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
         "raw_markdown string, markdown_with_citations string, references_markdown string, "
@@ -192,10 +308,9 @@ class CrawlEngine:
         return self.spark.createDataFrame([], schema)
 
     # ── seeds ────────────────────────────────────────────────────────
-    def _seed_frontier(self, seeds: list[str]) -> tuple[DataFrame, DataFrame, CrawlState]:
+    def _seed_frontier(self, seeds: list[str]) -> tuple[DataFrame, CrawlState]:
         state = CrawlState()
         rows = []
-        seen_rows = []
         for s in seeds:
             canon = canonicalize_for_crawl(s, s)
             if not canon or not is_valid_crawl_url(canon):
@@ -204,22 +319,18 @@ class CrawlEngine:
                 continue
             rows.append((canon, None, get_host(canon), 0, 0.0, None, state.next_seq,
                          "pending", 0, 0))
-            seen_rows.append((canon, None, 0))
             state.next_seq += 1
         frontier = self.spark.createDataFrame(rows, self._FRONTIER_COLS).withColumn(
             "url_hash", F.xxhash64("url")
         )
-        seen = self.spark.createDataFrame(seen_rows, self._SEEN_COLS).withColumn(
-            "url_hash", F.xxhash64("url")
-        )
-        return frontier, seen, state
+        return frontier, state
 
     # ── main loop ────────────────────────────────────────────────────
     def run(self, seeds: list[str]) -> CrawlResultTables:
-        frontier, seen, state = self._seed_frontier(seeds)
+        frontier, state = self._seed_frontier(seeds)
         docs = self._empty(self._DOCS_COLS)
         log = self._empty(self._LOG_COLS)
-        return self._loop(frontier, seen, docs, log, state)
+        return self._loop(frontier, docs, log, state)
 
     @staticmethod
     def _union_parts(base: DataFrame, parts: list[DataFrame]) -> DataFrame:
@@ -242,52 +353,69 @@ class CrawlEngine:
             host_state={h: (d, f) for h, (d, f) in st["host_state"].items()},
         )
         frontier = self.store.load(self.spark, "frontier")
-        seen = self.store.load(self.spark, "seen")
         docs = self.store.load(self.spark, "docs")
         log = self.store.load(self.spark, "crawl_log")
-        return self._loop(frontier, seen, docs, log, state)
+        return self._loop(frontier, docs, log, state)
 
-    def _loop(self, frontier, seen, docs, log, state) -> CrawlResultTables:
+    def _loop(self, frontier, docs, log, state) -> CrawlResultTables:
         cfg = self.cfg
         # docs/crawl_log are append-only and never read inside the loop:
-        # accumulate per-iteration parts, union at commit/return time
-        # (no per-iteration re-materialization of the growing tables).
+        # accumulate per-iteration parts, union at commit/return time.
         docs_parts: list[DataFrame] = []
         log_parts: list[DataFrame] = []
         while state.iteration < cfg.max_iterations and state.pages_crawled < cfg.max_pages:
-            out = self._iterate(frontier, seen, state)
+            out = self._iterate(frontier, state)
             if out is None:
                 break
-            frontier, seen, new_docs, new_log = out
+            frontier_next, new_docs, new_log = out
+            # old frontier checkpoint is dead once the new one exists
+            try:
+                frontier.unpersist()
+            except Exception:
+                pass
+            frontier = frontier_next
             docs_parts.append(new_docs)
             log_parts.append(new_log)
             if self.store and state.iteration % self.checkpoint_every == 0:
                 docs = self._union_parts(docs, docs_parts).localCheckpoint(eager=True)
                 log = self._union_parts(log, log_parts).localCheckpoint(eager=True)
                 docs_parts, log_parts = [], []
-                self._commit(frontier, seen, docs, log, state)
+                self._commit(frontier, docs, log, state)
         docs = self._union_parts(docs, docs_parts)
         log = self._union_parts(log, log_parts)
         if self.store:
-            self._commit(frontier, seen, docs, log, state)
-        return CrawlResultTables(frontier, seen, docs, log, state)
+            self._commit(frontier, docs, log, state)
+        return self._result(frontier, docs, log, state)
 
-    def _commit(self, frontier, seen, docs, log, state) -> None:
+    @staticmethod
+    def _result(frontier, docs, log, state) -> CrawlResultTables:
+        return CrawlResultTables(
+            frontier=frontier.filter(F.col("status") != "trimmed"),
+            seen=frontier.select(
+                "url", "url_hash", F.col("enqueue_iter").alias("first_iter")
+            ),
+            docs=docs,
+            crawl_log=log,
+            state=state,
+        )
+
+    def _commit(self, frontier, docs, log, state) -> None:
         self.store.commit(
             snapshot_id=state.iteration,
-            tables={"frontier": frontier, "seen": seen, "docs": docs, "crawl_log": log},
+            tables={"frontier": frontier, "docs": docs, "crawl_log": log},
             metrics={"pages_crawled": state.pages_crawled,
-                     "frontier_size": frontier.count(), "seen_size": seen.count()},
+                     "frontier_size": frontier.count()},
             state={"iteration": state.iteration, "next_seq": state.next_seq,
                    "pages_crawled": state.pages_crawled,
                    "host_state": {h: list(v) for h, v in state.host_state.items()}},
         )
 
     # ── one superstep ────────────────────────────────────────────────
-    def _iterate(self, frontier, seen, state):
+    def _iterate(self, frontier, state):
         cfg = self.cfg
         spark = self.spark
         iteration = state.iteration + 1
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
         tmark = time.time()
         timings: dict[str, float] = {}
@@ -307,8 +435,8 @@ class CrawlEngine:
                 return None
             pending = pending.filter(F.col("depth") == int(level_row[0]["d"]))
 
-        # ── politeness admission window (P1): per-host budget rank,
-        #    then global priority top-K ─────────────────────────────
+        # ── job 1: politeness admission window (P1): per-host budget
+        #    rank (keyed window), then exact PARALLEL global top-K ────
         budgets = [(h, cfg.host_budget(d)) for h, (d, _f) in state.host_state.items()]
         remaining = cfg.max_pages - state.pages_crawled
         global_budget = min(cfg.global_budget, remaining)
@@ -319,8 +447,8 @@ class CrawlEngine:
         # the extra shuffle+window.  This is the throughput-bench mode.
         min_budget = min([b for _h, b in budgets], default=cfg.base_budget)
         cap_can_bind = min(min_budget, cfg.base_budget) < global_budget
+        cands = pending
         if cap_can_bind:
-            cands = pending
             if budgets:
                 bdf = spark.createDataFrame(budgets, "host string, budget int")
                 cands = cands.join(F.broadcast(bdf), "host", "left")
@@ -333,57 +461,42 @@ class CrawlEngine:
                 .filter(F.col("host_rank") <= F.col("budget"))
                 .drop("budget", "host_rank")
             )
+        # Exact parallel global top-K.  With no scorer the order key
+        # reduces to (depth, seq), and seq's bit layout (iteration |
+        # parent_rank | link_pos) IS the FIFO order — so the range
+        # buckets come from arithmetic (with_bucketed_rank: one keyed
+        # window, no sampling job).  With a scorer the key distribution
+        # is unknown → repartitionByRange-based with_global_rank.
+        if cfg.scorer is None:
+            it_part = F.shiftrightunsigned(F.col("seq"), _SEQ_ITER_SHIFT)
+            rank_part = F.shiftrightunsigned(F.col("seq"), _SEQ_RANK_SHIFT).bitwiseAND(
+                F.lit((1 << 24) - 1)
+            )
+            band_w = max(1, -(-(cfg.global_budget + 1) // n_parts))
+            bucket = (
+                F.col("depth").cast("long") * F.lit(1 << 35).cast("long")
+                + F.shiftleft(it_part, 12)
+                + F.floor(rank_part / F.lit(band_w)).cast("long")
+            )
+            ranked = with_bucketed_rank(cands, bucket, self._order, "batch_rank")
         else:
-            cands = pending
+            ranked = with_global_rank(cands, self._order, "batch_rank", n_parts)
         batch = (
-            cands.orderBy(*self._order)
-            .limit(global_budget)
-            .withColumn("batch_rank", F.row_number().over(Window.orderBy(*self._order)))
+            ranked.filter(F.col("batch_rank") <= global_budget)
+            .withColumn("batch_rank", F.col("batch_rank").cast("int"))
         )
-        batch = batch.localCheckpoint(eager=True)
         _mark("admission")
         state.iteration = iteration
 
-        # ── synthetic fetch: batch ⟕ pages, one redirect hop (S5/S7).
-        # Join strategy: the batch (small) is ALWAYS the broadcast/build
-        # side — the pages corpus (the wide html column) must never
-        # shuffle.  pages ⋉ broadcast(batch) is a scan + hash filter;
-        # the right-outer then broadcasts the batch again so the hit
-        # set streams.  (At production scale this join is replaced by
-        # the network fetch UDF; the shape stays batch-small.)
-        p = self.pages.select("url", "status_code", "redirect_to", "html")
-        hits = p.join(F.broadcast(batch.select("url")), "url", "left_semi")
-        fetched = hits.join(F.broadcast(batch), "url", "right_outer")
-
-        rt_urls = (
-            fetched.filter((F.col("status_code") == 301) & F.col("redirect_to").isNotNull())
-            .select(F.col("redirect_to").alias("rt_url"))
-        )
-        p2 = (
-            p.join(F.broadcast(rt_urls), p.url == F.col("rt_url"), "left_semi")
-            .select(
-                F.col("url").alias("rt_url"),
-                F.col("status_code").alias("rt_status"),
-                F.col("html").alias("rt_html"),
-            )
-        )
-        fetched = fetched.join(
-            F.broadcast(p2), F.col("redirect_to") == F.col("rt_url"), "left"
-        )
-        # Spread the fetched batch evenly BEFORE the heavy Python
-        # stages.  The broadcast join leaves it on the pages table's
-        # partitioning, and an iteration's admitted URLs cluster in
-        # page-id space (a crawl wave discovers neighbors), so without
-        # this one or two partitions hold most of the batch and the
-        # extract stage runs as a straggler (observed: 15 idle executor
-        # threads + 1 Python reader).  Partitioning is (host, salt):
-        # host-locality for connection reuse/pacing in a real fetch
-        # UDF, salted so a hot host can't serialize an iteration
-        # (SURVEY §4.2.1-2).
-        n_parts = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        fetched = fetched.repartition(
-            n_parts, F.col("host"), F.pmod(F.coalesce("url_hash", F.lit(0)), F.lit(4 * n_parts))
-        )
+        # ── job 2 (jobs 1+2 fused): fetch join + fused extract UDF ───
+        # Join strategy: pages_eff is cached hash-partitioned by url
+        # (one-time, __init__), so this left join shuffles ONLY the
+        # small batch side; the shuffle_hash hint builds on the batch
+        # and streams the corpus partitions (never sorts, never
+        # shuffles, never builds over the corpus).  At production
+        # scale this join is replaced by the network fetch UDF; the
+        # shape stays batch-small.
+        fetched = batch.hint("shuffle_hash").join(self.pages_eff, "url", "left")
         is_redirect = (F.col("status_code") == 301) & F.col("redirect_to").isNotNull()
         fetched = fetched.select(
             *[F.col(c) for c in batch.columns],
@@ -392,40 +505,40 @@ class CrawlEngine:
             F.when(is_redirect, F.col("rt_html")).otherwise(F.col("html")).alias("eff_html"),
             F.when(is_redirect, F.col("redirect_to")).otherwise(F.col("url")).alias("final_url"),
         )
-
-        # robots gate (J4): broadcast dim join + vectorized evaluation
-        if cfg.respect_robots and self.robots is not None:
-            fetched = fetched.join(
-                F.broadcast(self.robots.select("host", "rules")), "host", "left"
-            ).withColumn(
-                "robots_ok",
-                F.col("rules").isNull() | (F.trim("rules") == "") |
-                self._can_fetch(F.col("rules"), F.col("url")),
-            ).drop("rules")
-        else:
-            fetched = fetched.withColumn("robots_ok", F.lit(True))
-
+        step = fetched.select(
+            *[F.col(c) for c in batch.columns],
+            "eff_status", "final_url",
+            self._step_udf(
+                F.col("url"), F.col("host"), F.col("final_url"),
+                F.col("eff_html"), F.col("eff_status"),
+            ).alias("ex"),
+        )
         backoff = F.col("eff_status").isin(list(BACKOFF_CODES))
-        fetched = fetched.withColumn(
+        step = step.withColumn(
             "outcome",
-            F.when(~F.col("robots_ok"), F.lit("robots_blocked"))
+            F.when(~F.col("ex.robots_ok"), F.lit("robots_blocked"))
             .when(F.col("eff_status") == 200, F.lit("success"))
             .when(backoff & (F.col("retry_count") < cfg.max_retries), F.lit("retry"))
             .when(backoff, F.lit("gave_up"))
             .otherwise(F.lit("fetch_error")),
-        ).localCheckpoint(eager=True)
-        _mark("fetch")
+        )
+        if self.capture_plans:
+            self.last_plans["step"] = step._jdf.queryExecution().executedPlan().toString()
+        step = step.localCheckpoint(eager=True)
+        _mark("fetch_extract")
 
-        # ── counters + host-state deltas (A4; driver-side, tiny) ─────
-        agg = fetched.groupBy("host").agg(
-            F.count("*").alias("n"),
+        # ── job 3: counters + host-state deltas (A4) + link bound ────
+        agg = step.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("outcome") == "success", 1).otherwise(0)).alias("ok"),
             F.sum(F.when(F.col("outcome").isin("retry", "gave_up"), 1).otherwise(0)).alias("bad"),
+            F.sum(F.coalesce(F.size("ex.plinks"), F.lit(0))).alias("n_links"),
         ).collect()
-        if not agg:  # empty batch — frontier exhausted (replaces isEmpty job)
+        if not agg:  # empty batch — frontier exhausted
             state.iteration = iteration - 1
             return None
         n_success = sum(r["ok"] for r in agg)
+        n_links_ub = sum(r["n_links"] for r in agg)
         state.pages_crawled += int(n_success)
         for r in agg:
             delay, fails = state.host_state.get(r["host"], (cfg.base_delay, 0))
@@ -435,18 +548,7 @@ class CrawlEngine:
                 state.host_state[r["host"]] = (max(cfg.base_delay, delay * cfg.decay_factor), 0)
         _mark("host_agg")
 
-        # ── extraction (E1-E4, fused Arrow UDF) on success rows ──────
-        success = fetched.filter(F.col("outcome") == "success")
-        # project eff_html OUT before materializing: the extract struct
-        # is the only thing downstream needs, and html is the widest
-        # column in the pipeline
-        extracted = success.select(
-            "url", "batch_rank", "depth", "final_url",
-            extract_udf(F.col("url"), F.col("eff_html")).alias("ex"),
-        ).localCheckpoint(eager=True)
-        _mark("extract")
-
-        new_docs = extracted.select(
+        new_docs = step.filter(F.col("outcome") == "success").select(
             F.col("url").alias("doc_id"),
             F.col("ex.spans").alias("spans"),
             F.col("ex.raw_markdown").alias("raw_markdown"),
@@ -457,106 +559,110 @@ class CrawlEngine:
         )
 
         # ── link discovery → scored candidate set (SURVEY §3.3) ──────
-        can_discover = (
-            state.pages_crawled < cfg.max_pages
-        )
+        can_discover = state.pages_crawled < cfg.max_pages and n_links_ub > 0
         new_entries = None
-        new_seen = None
         if can_discover:
             links = (
-                extracted.filter(F.col("depth") + 1 <= cfg.max_depth)
+                step.filter(
+                    (F.col("outcome") == "success")
+                    & (F.col("depth") + 1 <= cfg.max_depth)
+                )
                 .select(
                     F.col("url").alias("parent_url"),
                     F.col("batch_rank"),
-                    F.col("final_url"),
                     (F.col("depth") + 1).alias("depth"),
-                    F.posexplode(F.col("ex.links")).alias("link_pos", "link"),
+                    F.explode(F.col("ex.plinks")).alias("l"),
                 )
                 .select(
-                    "parent_url", "batch_rank", "final_url", "depth", "link_pos",
-                    F.col("link.href").alias("href"),
+                    "parent_url", "batch_rank", "depth",
+                    F.col("l.link_pos").alias("link_pos"),
+                    F.col("l.abs_url").alias("abs_url"),
+                    F.col("l.canon").alias("canon"),
+                    F.col("l.host").alias("host"),
                 )
-            )
-            cands = (
-                links.withColumn("p", self._link_prep("href", "final_url"))
-                .select(
-                    "parent_url", "batch_rank", "link_pos", "depth",
-                    F.col("p.abs_url").alias("abs_url"),
-                    F.col("p.canon").alias("canon"),
-                    F.col("p.host").alias("host"),
-                    F.col("p.robots_ok").alias("robots_ok"),
-                )
-                .filter(
-                    F.col("canon").isNotNull()
-                    & valid_crawl_url(F.col("abs_url"))
-                    & F.col("robots_ok")
-                )
-                .drop("robots_ok")
+                .filter(valid_crawl_url(F.col("abs_url")))
             )
             if cfg.filters:
-                cands = cands.filter(compile_filters_column(cfg.filters, F.col("abs_url")))
-            cands = cands.withColumn(
+                links = links.filter(compile_filters_column(cfg.filters, F.col("abs_url")))
+            links = links.withColumn(
                 "score", compile_scorer_column(cfg.scorer, F.col("canon")).cast("double")
             )
             if cfg.score_threshold > float("-inf"):
-                cands = cands.filter(F.col("score") >= cfg.score_threshold)
+                links = links.filter(F.col("score") >= cfg.score_threshold)
+            links = links.withColumn("ch", F.xxhash64("canon"))
 
-            # within-iteration dedup: first discovery wins (J7)
-            w = Window.partitionBy("canon").orderBy("batch_rank", "link_pos")
+            # within-iteration dedup: first discovery wins (J7), keyed
+            # by the 64-bit hash so the downstream anti-join can reuse
+            # this exchange (same partitioning key, no re-shuffle)
+            w = Window.partitionBy("ch").orderBy("batch_rank", "link_pos")
             deduped = (
-                cands.withColumn("rn", F.row_number().over(w))
+                links.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .drop("rn")
             )
-            # seen-set dedup: exact anti-join (J1) — ground truth
-            fresh = deduped.join(
-                seen.select(F.col("url").alias("canon")), "canon", "left_anti"
-            ).localCheckpoint(eager=True)
-            _mark("candidates")
-
-            # ALL valid fresh candidates enter seen (pre-trim quirk,
-            # bfs_strategy.py:121-131)
-            new_seen = fresh.select(
-                F.col("canon").alias("url"),
-                F.xxhash64("canon").alias("url_hash"),
-                F.lit(iteration).alias("first_iter"),
-            )
-
-            # capacity trim (O4) — rank-based filter, no count job; the
-            # predicate is a no-op whenever capacity exceeds the fresh
-            # set, so applying it unconditionally is always correct.
-            capacity = cfg.max_pages - state.pages_crawled
-            if cfg.mode == "bfs" and cfg.scorer is not None:
-                tw = Window.orderBy(F.desc("score"), F.asc("batch_rank"), F.asc("link_pos"))
+            # seen-set anti-join (J1): frontier side ships ONLY 8-byte
+            # hashes; optional blocked-bloom prefilter (derived from
+            # the frontier in this same plan — no driver collect)
+            # routes definitely-new rows around the join.
+            seen_hashes = frontier.select(F.col("url_hash").alias("ch"))
+            if self.bloom_prefilter:
+                bloom = blocked_bloom_build(frontier, "url_hash", self._bloom_words)
+                probed = blocked_bloom_probe(
+                    deduped, bloom, "ch", self._bloom_words, out_col="maybe_seen"
+                )
+                definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                fresh = definitely_new.unionByName(
+                    maybe.join(seen_hashes, "ch", "left_anti")
+                )
             else:
-                tw = Window.orderBy(F.asc("batch_rank"), F.asc("link_pos"))
-            kept = (
-                fresh.withColumn("trim_rank", F.row_number().over(tw))
-                .filter(F.col("trim_rank") <= capacity)
-                .drop("trim_rank")
+                fresh = deduped.join(seen_hashes, "ch", "left_anti")
+
+            # capacity trim (O4): rank only when the driver-known link
+            # upper bound says the cut could bind; otherwise every
+            # fresh row is pending and no rank is computed at all.
+            capacity = cfg.max_pages - state.pages_crawled
+            if n_links_ub > capacity:
+                if cfg.mode == "bfs" and cfg.scorer is not None:
+                    t_order = [F.desc("score"), F.asc("batch_rank"), F.asc("link_pos")]
+                    fresh = with_global_rank(fresh, t_order, "trim_rank", n_parts)
+                else:
+                    # FIFO trim: batch_rank is itself the range bucket
+                    t_order = [F.asc("batch_rank"), F.asc("link_pos")]
+                    band_w = max(1, -(-(global_budget + 1) // n_parts))
+                    fresh = with_bucketed_rank(
+                        fresh,
+                        F.floor((F.col("batch_rank") - 1) / F.lit(band_w)),
+                        t_order,
+                        "trim_rank",
+                    )
+                status = F.when(F.col("trim_rank") <= capacity, F.lit("pending")).otherwise(
+                    F.lit("trimmed")
+                )
+            else:
+                status = F.lit("pending")
+            # seq: arithmetic (iteration << 40 | batch_rank << 16 |
+            # link_pos) — monotone in discovery order, windowless (O9)
+            seq = (
+                F.lit(int(iteration) << _SEQ_ITER_SHIFT).cast("long")
+                + F.shiftleft(F.col("batch_rank").cast("long"), _SEQ_RANK_SHIFT)
+                + F.col("link_pos").cast("long")
             )
-            # seq = (iteration << 32) + discovery index: deterministic
-            # FIFO tiebreak (O9) without a driver count — iterations are
-            # monotone, so ordering by seq ≡ ordering by (enqueue_iter,
-            # discovery order), exactly as a global counter would.
-            sw = Window.orderBy(F.asc("batch_rank"), F.asc("link_pos"))
-            seq_base = F.shiftleft(F.lit(int(iteration)).cast("long"), 32)
-            new_entries = kept.select(
+            new_entries = fresh.select(
                 F.col("canon").alias("url"),
-                F.xxhash64("canon").alias("url_hash"),
+                F.col("ch").alias("url_hash"),
                 F.col("host"),
                 F.col("depth"),
                 F.col("score"),
                 F.col("parent_url"),
-                (seq_base + F.row_number().over(sw) - 1).cast("long").alias("seq"),
-                F.lit("pending").alias("status"),
+                seq.alias("seq"),
+                status.alias("status"),
                 F.lit(0).alias("retry_count"),
                 F.lit(iteration).alias("enqueue_iter"),
-            )  # derived from the checkpointed `fresh` — cheap to recompute
-            _mark("trim_seq")
+            )
 
-        # ── frontier/seen/log merge (the MERGE INTO stand-in) ────────
-        updated = fetched.select(
+        # ── job 4: frontier merge (the MERGE INTO stand-in) ──────────
+        updated = step.select(
             "url", "url_hash", "host", "depth", "score", "parent_url", "seq",
             F.when(F.col("outcome") == "success", F.lit("done"))
             .when(F.col("outcome") == "retry", F.lit("pending"))
@@ -565,22 +671,33 @@ class CrawlEngine:
             .otherwise(F.col("retry_count")).alias("retry_count"),
             "enqueue_iter",
         )
-        frontier_next = frontier.join(batch.select("url"), "url", "left_anti").select(
-            updated.columns
-        ).unionByName(updated)
+        # batch removal: broadcast anti against the (small, cached)
+        # step — the big frontier streams, no shuffle
+        frontier_next = frontier.join(
+            F.broadcast(step.select("url")), "url", "left_anti"
+        ).select(updated.columns).unionByName(updated)
         if new_entries is not None:
             frontier_next = frontier_next.unionByName(new_entries)
-        seen_next = seen.unionByName(new_seen) if new_seen is not None else seen
-        new_log = fetched.select(
+        # coalesce: unions sum their parents' partition counts, so
+        # without this the state table gains ~2·n_parts partitions per
+        # superstep and task-launch overhead grows linearly with
+        # iteration count (narrow op — no shuffle)
+        frontier_next = frontier_next.coalesce(n_parts)
+        if self.capture_plans:
+            self.last_plans["frontier"] = (
+                frontier_next._jdf.queryExecution().executedPlan().toString()
+            )
+        frontier_next = frontier_next.localCheckpoint(eager=True)
+
+        new_log = step.select(
             F.lit(iteration).alias("iteration"), "url", "depth", "score",
             "parent_url", "seq", "outcome", "batch_rank",
         )
         if self.materialize_outputs:
+            new_docs = new_docs.localCheckpoint(eager=True)
             new_log = new_log.localCheckpoint(eager=True)
-
-        frontier_next = frontier_next.localCheckpoint(eager=True)
-        seen_next = seen_next.localCheckpoint(eager=True)
+            step.unpersist()
         _mark("merge")
         if self.verbose_timing:
             print(f"[iter {iteration}] " + " ".join(f"{k}={v}s" for k, v in timings.items()))
-        return frontier_next, seen_next, new_docs, new_log
+        return frontier_next, new_docs, new_log

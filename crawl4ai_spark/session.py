@@ -52,6 +52,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # shuffled-hash over sort-merge where legal: the crawl's fetch
+        # join builds on the (small) batch side and must never sort
+        # the html-carrying corpus partitions
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -123,7 +123,9 @@ def simulate_crawl(
         #    matching the engine — SURVEY §7.4.2) ─────────────────────
         hosts_failed: set[str] = set()
         hosts_succeeded: set[str] = set()
-        successes: list[tuple[FrontierEntry, str, str]] = []  # (entry, final_url, html)
+        # (entry, final_url, html, batch_rank): batch_rank is the
+        # 1-based admitted rank — it feeds the engine's arithmetic seq
+        successes: list[tuple[FrontierEntry, str, str, int]] = []
 
         for rank, e in enumerate(admitted):
             row = pages.get(e.url)
@@ -162,12 +164,13 @@ def simulate_crawl(
             )
 
             if outcome == "success":
-                successes.append((e, final_url, html))
+                successes.append((e, final_url, html, rank + 1))
 
         # ── pass 2: extract + discover from successes, in admitted
         #    order, gated by end-of-iteration page count ──────────────
-        new_entries: list[tuple[FrontierEntry, float]] = []
-        for e, final_url, html in successes:
+        # (entry, score, batch_rank, link_pos)
+        new_entries: list[tuple[FrontierEntry, float, int, int]] = []
+        for e, final_url, html, batch_rank in successes:
             ex = extract_one(e.url, html)
             res.docs[e.url] = [
                 (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in ex["spans"]
@@ -177,7 +180,7 @@ def simulate_crawl(
                 continue
             if res.pages_crawled >= cfg.max_pages:
                 continue
-            for link in ex["links"]:
+            for link_pos, link in enumerate(ex["links"]):
                 abs_url = urljoin(final_url, link["href"].strip())
                 canon = canonicalize_for_crawl(link["href"], final_url)
                 if not canon or canon in res.seen:
@@ -197,7 +200,7 @@ def simulate_crawl(
                     url=canon, host=host, depth=next_depth, score=score,
                     parent=e.url, seq=-1, enqueue_iter=iteration,
                 )
-                new_entries.append((entry, score))
+                new_entries.append((entry, score, batch_rank, min(link_pos, 65535)))
 
         # ── capacity trim (bfs_strategy.py:124-131 / bff :119-122) ──
         capacity = cfg.max_pages - res.pages_crawled
@@ -210,11 +213,12 @@ def simulate_crawl(
                 keep = list(range(max(0, capacity)))
             new_entries = [new_entries[i] for i in keep]
 
-        # seq = (iteration << 32) + discovery index (mirrors the
-        # engine's counter-free scheme; ordering-equivalent to a global
-        # monotone counter)
-        for idx, (entry, _) in enumerate(new_entries):
-            entry.seq = (iteration << 32) + idx
+        # seq = (iteration << 40) | (batch_rank << 16) | link_pos —
+        # the engine's windowless arithmetic scheme.  Monotone in
+        # discovery order (batch_rank, link_pos), so ordering-
+        # equivalent to a global monotone counter.
+        for entry, _score, br, lp in new_entries:
+            entry.seq = (iteration << 40) | (br << 16) | lp
             res.frontier[entry.url] = entry
 
         # ── host-state update (async_dispatcher.py:65-85 semantics,

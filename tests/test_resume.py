@@ -70,7 +70,9 @@ def test_manifest_atomicity(spark, tmp_path):
     pages, robots, seeds = _inputs(spark)
     CrawlEngine(spark, _cfg(1), pages, robots, store=store).run(seeds)
     m = store.read_manifest()
-    assert set(m["tables"]) == {"frontier", "seen", "docs", "crawl_log"}
+    # seen is no longer a separate table: the frontier subsumes it
+    # (trimmed rows keep their row, so seen ≡ frontier.url)
+    assert set(m["tables"]) == {"frontier", "docs", "crawl_log"}
     # every referenced snapshot path exists and loads
     for name in m["tables"]:
         df = store.load(spark, name)
