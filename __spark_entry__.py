@@ -716,6 +716,241 @@ def q_css_extract(spark, sf_dir):
     )
 
 
+# ── link scoring / SEO / relevance (R7, R9, F6, F7) ──────────────────
+#
+# Deterministic variants per doc_id: the Spark queries score
+# synthesized link/head fields natively; the oracles embed the
+# expected value per variant, computed by the golden-tested Python
+# mirrors (functions.link_scores / functions.seo_filters) — so the
+# gate checks the Column implementations end-to-end against the
+# pinned reference semantics.
+
+_LS_PAGE = ("Spark Frontier Guide", "Crawling at scale", "A guide to crawling")
+_LS_VARIANTS = [
+    ("Read the API reference", "https://docs.example.com/docs/api",
+     "API docs page", "nav-primary", ""),
+    ("click here", "http://example.com/track/x/y/z/w/v/u",
+     "", "ad-banner promo", "nofollow"),
+    ("Spark crawling guide for scale", "https://example.com/blog/spark",
+     "", "", "next"),
+    ("here", "https://example.com/login/", "", "", ""),
+]
+
+
+def _ls_expected() -> list[float]:
+    from crawl4ai_spark.functions.link_scores import (
+        _tokens_py, link_intrinsic_score_py,
+    )
+
+    terms = _tokens_py(" ".join(_LS_PAGE))
+    out = []
+    for text, url, ta, ca, ra in _LS_VARIANTS:
+        docs_site = url.startswith("https://docs.") or "://api." in url
+        out.append(round(link_intrinsic_score_py(text, url, ta, ca, ra, terms, docs_site), 6))
+    return out
+
+
+def q_link_scores(spark, sf_dir):
+    """Link intrinsic + total scoring (R7/R9, utils.py:3143-3304):
+    native Columns over per-doc link variants; contextual score
+    synthesized, blended 0.7/0.3."""
+    from crawl4ai_spark.functions.link_scores import (
+        is_docs_site, link_intrinsic_score, link_total_score, page_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 4
+    pick = lambda i: [F.lit(_LS_VARIANTS[j][i]) for j in range(4)]  # noqa: E731
+    choose = lambda i: (  # noqa: E731
+        F.when(v == 0, pick(i)[0]).when(v == 1, pick(i)[1])
+        .when(v == 2, pick(i)[2]).otherwise(pick(i)[3])
+    )
+    d = docs.select(
+        "doc_id",
+        choose(0).alias("text"), choose(1).alias("url"),
+        choose(2).alias("title_attr"), choose(3).alias("class_attr"),
+        choose(4).alias("rel_attr"),
+        F.lit(_LS_PAGE[0]).alias("page_title"),
+        F.lit(_LS_PAGE[1]).alias("headlines"),
+        F.lit(_LS_PAGE[2]).alias("meta_description"),
+        ((F.col("doc_id") % 10) / 10.0).alias("contextual"),
+    )
+    terms = page_terms(F.col("page_title"), F.col("headlines"), F.col("meta_description"))
+    intrinsic = link_intrinsic_score(
+        F.col("text"), F.col("url"), F.col("title_attr"),
+        F.col("class_attr"), F.col("rel_attr"), terms, is_docs_site(F.col("url")),
+    )
+    # blend from the ROUNDED intrinsic so the oracle's embedded
+    # 6-decimal constants reproduce the arithmetic bit-for-bit
+    ri = F.round(intrinsic, 6)
+    return d.select(
+        "doc_id",
+        ri.alias("intrinsic"),
+        F.round(
+            link_total_score(ri, F.col("contextual"), True, True), 6
+        ).alias("total"),
+    ).orderBy("doc_id")
+
+
+_SEO_VARIANTS = [
+    # (title, description, robots, has_schema, path_suffix)
+    ("A title that is exactly fifty two characters long ok", "d" * 150, "index", True, "canon"),
+    ("Cricket", "short", "noindex", False, "cricket_rules?ref=1"),
+    ("Mid-length title over forty characters okay", "m" * 125, "", False, "blog/2024/post"),
+]
+
+
+def _seo_expected() -> list[float]:
+    from crawl4ai_spark.functions.seo_filters import seo_score_py
+
+    out = []
+    for title, desc, robots, schema, suffix in _SEO_VARIANTS:
+        url = f"https://example.com/{suffix.split('?')[0]}" + (
+            "?" + suffix.split("?")[1] if "?" in suffix else ""
+        )
+        meta = {"description": desc, "robots": robots}
+        html = '<head><script type="application/ld+json">{}</script></head>' if schema else "<head></head>"
+        out.append(round(seo_score_py(url, title, meta, html, keywords=["title", "cricket"]), 6))
+    return out
+
+
+def q_seo_score(spark, sf_dir):
+    """SEOFilter quality score (F7, filters.py:576-687) over per-doc
+    head variants."""
+    from crawl4ai_spark.functions.seo_filters import seo_score
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 3
+    rows = _SEO_VARIANTS
+
+    def choose(i):
+        return (
+            F.when(v == 0, F.lit(rows[0][i])).when(v == 1, F.lit(rows[1][i]))
+            .otherwise(F.lit(rows[2][i]))
+        )
+
+    url = F.concat(
+        F.lit("https://example.com/"),
+        F.when(v == 0, F.lit("canon")).when(v == 1, F.lit("cricket_rules?ref=1"))
+        .otherwise(F.lit("blog/2024/post")),
+    )
+    head_html = F.when(
+        choose(3), F.lit('<head><script type="application/ld+json">{}</script></head>')
+    ).otherwise(F.lit("<head></head>"))
+    meta = F.map_from_arrays(
+        F.array(F.lit("description"), F.lit("robots")),
+        F.array(choose(1), choose(2)),
+    )
+    d = docs.select("doc_id", url.alias("url"), choose(0).alias("title"),
+                    meta.alias("meta"), head_html.alias("head_html"))
+    return d.select(
+        "doc_id",
+        F.round(
+            seo_score(F.col("url"), F.col("title"), F.col("meta"),
+                      F.col("head_html"), keywords=["title", "cricket"]),
+            6,
+        ).alias("seo"),
+    ).orderBy("doc_id")
+
+
+_REL_QUERY = "causes of american civil war"
+_REL_VARIANTS = [
+    ("American Civil War history and causes",
+     "The causes of the American civil war explained for students of history."),
+    ("Cricket", "bat and ball games history"),
+    ("Randomness", "entropy and chance"),
+]
+
+
+def _rel_expected() -> list[float]:
+    from crawl4ai_spark.functions.seo_filters import content_relevance_score_py
+
+    return [
+        round(content_relevance_score_py(t, {"description": d}, _REL_QUERY), 6)
+        for t, d in _REL_VARIANTS
+    ]
+
+
+def q_relevance_score(spark, sf_dir):
+    """ContentRelevanceFilter BM25 head score (F6, filters.py:501-573)."""
+    from crawl4ai_spark.functions.seo_filters import content_relevance_score
+
+    docs = _t(spark, sf_dir, "documents")
+    v = F.col("doc_id") % 3
+    title = (
+        F.when(v == 0, F.lit(_REL_VARIANTS[0][0]))
+        .when(v == 1, F.lit(_REL_VARIANTS[1][0]))
+        .otherwise(F.lit(_REL_VARIANTS[2][0]))
+    )
+    desc = (
+        F.when(v == 0, F.lit(_REL_VARIANTS[0][1]))
+        .when(v == 1, F.lit(_REL_VARIANTS[1][1]))
+        .otherwise(F.lit(_REL_VARIANTS[2][1]))
+    )
+    meta = F.map_from_arrays(F.array(F.lit("description")), F.array(desc))
+    return docs.select(
+        "doc_id",
+        F.round(content_relevance_score(title, meta, _REL_QUERY), 6).alias("rel"),
+    ).orderBy("doc_id")
+
+
+def q_filter_stats(spark, sf_dir):
+    """FilterStats (A1): one-pass per-filter pass/reject counts over
+    the dirty URL corpus (filters.py:18-66)."""
+    from crawl4ai_spark.operators.stats import filter_stats
+
+    docs = _t(spark, sf_dir, "documents").select(_dirty_url_col().alias("url"))
+    specs = [
+        {"kind": "pattern", "name": "en_pages", "patterns": ["*.example.test/en/*"]},
+        {"kind": "pattern", "name": "typed_docs", "patterns": ["*.html*", "*.pdf*"]},
+    ]
+    return filter_stats(docs, specs, "url").orderBy("filter")
+
+
+def q_scoring_stats(spark, sf_dir):
+    """ScoringStats (A2, scorers.py:26-60)."""
+    from crawl4ai_spark.operators.stats import scoring_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") % 100) / 100.0).alias("score")
+    )
+    out = scoring_stats(docs)
+    return out.select(
+        "urls_scored",
+        F.round("total_score", 6).alias("total_score"),
+        F.round("min_score", 6).alias("min_score"),
+        F.round("max_score", 6).alias("max_score"),
+        F.round("average_score", 6).alias("average_score"),
+    )
+
+
+def q_match_config(spark, sf_dir):
+    """Per-URL config matcher (F12, async_configs.py:1376-1410):
+    first-match dispatch over glob matchers."""
+    from crawl4ai_spark.operators.stats import match_config
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _dirty_url_col().alias("url")
+    )
+    configs = [
+        {"id": "pdf", "matcher": "*.pdf*"},
+        {"id": "en_html", "matcher": ["*/en/*", "*.html*"], "match_mode": "and"},
+        {"id": "default", "matcher": None},
+    ]
+    return docs.select(
+        "doc_id", match_config(F.col("url"), configs).alias("cfg")
+    ).orderBy("doc_id")
+
+
+def q_cc_seed(spark, sf_dir):
+    """Common-Crawl index seed (S2, async_url_seeder.py:709-762):
+    domain-scoped, pattern-filtered, distinct, URL-ordered."""
+    from crawl4ai_spark.sources.cc_index import cc_index_seed
+
+    cc = _t(spark, sf_dir, "documents").select(_dirty_url_col().alias("url"))
+    return cc_index_seed(cc, "example.test", "*/en/*")
+
+
 # ── the crawl loop itself (iterative; no single-SQL oracle) ──────────
 
 def q_crawl_bfs(spark, sf_dir):
@@ -802,6 +1037,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_parse": q_head_parse,
         "fit_markdown": q_fit_markdown,
         "css_extract": q_css_extract,
+        "link_scores": q_link_scores,
+        "seo_score": q_seo_score,
+        "relevance_score": q_relevance_score,
+        "filter_stats": q_filter_stats,
+        "scoring_stats": q_scoring_stats,
+        "match_config": q_match_config,
+        "cc_seed": q_cc_seed,
         "crawl_bfs": q_crawl_bfs,
     }
 
@@ -1232,6 +1474,68 @@ def oracle_sql() -> dict[str, str]:
                    'https://ex.test/' || source || '/' || doc_id::VARCHAR AS href,
                    doc_id::VARCHAR AS num
             FROM documents ORDER BY doc_id
+        """,
+        "link_scores": (lambda e: f"""
+            WITH v AS (
+              SELECT doc_id,
+                     CASE doc_id % 4 WHEN 0 THEN {e[0]} WHEN 1 THEN {e[1]}
+                          WHEN 2 THEN {e[2]} ELSE {e[3]} END AS intrinsic,
+                     (doc_id % 10) / 10.0 AS ctx
+              FROM documents
+            )
+            SELECT doc_id, intrinsic,
+                   round(greatest(0.0, least(intrinsic * 0.7
+                         + least(ctx * 10.0, 10.0) * 0.3, 10.0)), 6) AS total
+            FROM v ORDER BY doc_id
+        """)(_ls_expected()),
+        "seo_score": (lambda e: f"""
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN {e[0]} WHEN 1 THEN {e[1]}
+                        ELSE {e[2]} END AS seo
+            FROM documents ORDER BY doc_id
+        """)(_seo_expected()),
+        "relevance_score": (lambda e: f"""
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN {e[0]} WHEN 1 THEN {e[1]}
+                        ELSE {e[2]} END AS rel
+            FROM documents ORDER BY doc_id
+        """)(_rel_expected()),
+        "filter_stats": f"""
+            WITH u AS (SELECT {url} AS url FROM documents)
+            SELECT 'en_pages' AS filter, count(*)::BIGINT AS total,
+                   sum(CASE WHEN url LIKE '%.example.test/en/%' THEN 1 ELSE 0 END)::BIGINT AS passed,
+                   (count(*) - sum(CASE WHEN url LIKE '%.example.test/en/%' THEN 1 ELSE 0 END))::BIGINT AS rejected
+            FROM u
+            UNION ALL
+            SELECT 'typed_docs', count(*)::BIGINT,
+                   sum(CASE WHEN url LIKE '%.html%' OR url LIKE '%.pdf%' THEN 1 ELSE 0 END)::BIGINT,
+                   (count(*) - sum(CASE WHEN url LIKE '%.html%' OR url LIKE '%.pdf%' THEN 1 ELSE 0 END))::BIGINT
+            FROM u
+            ORDER BY filter
+        """,
+        "scoring_stats": """
+            WITH s AS (SELECT (doc_id % 100) / 100.0 AS score FROM documents)
+            SELECT count(score)::BIGINT AS urls_scored,
+                   round(coalesce(sum(score), 0.0), 6) AS total_score,
+                   round(min(score), 6) AS min_score,
+                   round(max(score), 6) AS max_score,
+                   round(coalesce(avg(score), 0.0), 6) AS average_score
+            FROM s
+        """,
+        "match_config": f"""
+            WITH u AS (SELECT doc_id, {url} AS url FROM documents)
+            SELECT doc_id,
+                   CASE WHEN url LIKE '%.pdf%' THEN 'pdf'
+                        WHEN url LIKE '%/en/%' AND url LIKE '%.html%' THEN 'en_html'
+                        ELSE 'default' END AS cfg
+            FROM u ORDER BY doc_id
+        """,
+        "cc_seed": f"""
+            WITH u AS (SELECT DISTINCT {url} AS url FROM documents)
+            SELECT url FROM u
+            WHERE regexp_matches(url, '^https?://([^/]*\\.)?example\\.test(/|$)')
+              AND url LIKE '%/en/%'
+            ORDER BY url
         """,
         "interleaved_spans": f"""
             WITH w AS (SELECT doc_id, {words} AS words FROM documents),

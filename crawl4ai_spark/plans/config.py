@@ -46,6 +46,11 @@ class CrawlConfig:
     decay_factor: float = 0.75
     max_retries: int = 3
     max_iterations: int = 200
+    # O5 dispatcher fairness aging (async_dispatcher.py:217-226):
+    # an entry pending longer than this many iterations is promoted
+    # with priority -wait (lower = higher priority); otherwise its
+    # priority is retry_count.  None disables aging.
+    fairness_timeout_iters: int | None = None
 
     def host_budget(self, current_delay: float) -> int:
         """Admissions this host gets this iteration: base_budget scaled

@@ -197,6 +197,18 @@ class CrawlState:
     next_seq: int = 0
     pages_crawled: int = 0
     host_state: dict[str, tuple[float, int]] = field(default_factory=dict)
+    # upper bound on frontier rows (seeds + every link ever emitted):
+    # drives the small-N plan shortcuts (single-task rank window,
+    # broadcast seen anti-join) — an overestimate only switches to the
+    # scalable plan early, never changes results
+    frontier_ub: int = 0
+
+
+# small-N plan shortcuts: below these driver-tracked bounds the
+# single-task / broadcast variants beat the scalable ones (each saves
+# 2-3 AQE stage waves of fixed driver latency per superstep)
+_SMALL_PENDING_MAX = 1 << 20          # rank window: sort ≤1M skinny rows
+_BCAST_SEEN_MAX = 1 << 22             # anti-join: broadcast ≤4M hashes (~32MB)
 
 
 @dataclass
@@ -228,6 +240,9 @@ class CrawlEngine:
         bloom_prefilter: bool = False,
         capture_plans: bool = False,
         partition_pages: bool = True,
+        transport_factory=None,
+        page_cache: DataFrame | None = None,
+        cache_mode=None,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
@@ -238,33 +253,45 @@ class CrawlEngine:
         # so the corpus side never exchanges again.  (At production
         # scale this is the bucketed-storage / storage-partitioned-
         # join analogue; the synthetic corpus stands in for it.)
-        p = pages.select("url", "status_code", "redirect_to", "html")
-        # Pre-resolve the one-hop redirect target ONCE: the per-
-        # iteration plan then needs a single fetch join instead of a
-        # second corpus scan per superstep.  Redirect targets are a
-        # small slice of the corpus → broadcast; non-redirect rows
-        # never shuffle (a plain left join on redirect_to would hash
-        # every null key into one partition).
-        rt_targets = p.join(
-            F.broadcast(
-                p.filter((F.col("status_code") == 301) & F.col("redirect_to").isNotNull())
-                .select(F.col("redirect_to").alias("rt_url"))
-                .distinct()
-            ),
-            p.url == F.col("rt_url"),
-            "left_semi",
-        ).select(
-            F.col("url").alias("rt_url"),
-            F.col("status_code").alias("rt_status"),
-            F.col("html").alias("rt_html"),
-        )
-        pages_eff = p.join(
-            F.broadcast(rt_targets), F.col("redirect_to") == F.col("rt_url"), "left"
-        ).drop("rt_url")
-        if partition_pages:
-            pages_eff = pages_eff.repartition(self._n_parts, "url").persist()
-        self.pages_eff = pages_eff
+        # The fetch seam (S5): with a transport_factory the per-
+        # iteration fetch is a pandas UDF over the admitted batch
+        # (sources.fetch — synthetic dict, stdlib urllib, or aiohttp
+        # transports share the interface); without one, the synthetic
+        # corpus join below stands in.
+        self._fetch_udf = None
         self.pages = pages
+        if transport_factory is not None:
+            from crawl4ai_spark.sources.fetch import make_fetch_udf
+
+            self._fetch_udf = make_fetch_udf(transport_factory)
+            self.pages_eff = None
+        else:
+            p = pages.select("url", "status_code", "redirect_to", "html")
+            # Pre-resolve the one-hop redirect target ONCE: the per-
+            # iteration plan then needs a single fetch join instead of
+            # a second corpus scan per superstep.  Redirect targets are
+            # a small slice of the corpus → broadcast; non-redirect
+            # rows never shuffle (a plain left join on redirect_to
+            # would hash every null key into one partition).
+            rt_targets = p.join(
+                F.broadcast(
+                    p.filter((F.col("status_code") == 301) & F.col("redirect_to").isNotNull())
+                    .select(F.col("redirect_to").alias("rt_url"))
+                    .distinct()
+                ),
+                p.url == F.col("rt_url"),
+                "left_semi",
+            ).select(
+                F.col("url").alias("rt_url"),
+                F.col("status_code").alias("rt_status"),
+                F.col("html").alias("rt_html"),
+            )
+            pages_eff = p.join(
+                F.broadcast(rt_targets), F.col("redirect_to") == F.col("rt_url"), "left"
+            ).drop("rt_url")
+            if partition_pages:
+                pages_eff = pages_eff.repartition(self._n_parts, "url").persist()
+            self.pages_eff = pages_eff
         self.robots = robots
         self.store = store
         self.checkpoint_every = checkpoint_every
@@ -285,12 +312,32 @@ class CrawlEngine:
         if cfg.respect_robots and robots is not None:
             robots_map = {r["host"]: r["rules"] for r in robots.select("host", "rules").collect()}
         self._step_udf = make_step_udf(robots_map, cfg.user_agent)
-        self._order = (
-            [F.asc("score"), F.asc("depth"), F.asc("seq")]
-            if cfg.mode == "best_first"
-            else [F.asc("seq")]
-        )
+        if cfg.mode == "best_first":
+            # reference min-heap: lower score first, FIFO tiebreak
+            self._order = [F.asc("score"), F.asc("depth"), F.asc("seq")]
+        elif cfg.mode == "dfs":
+            # LIFO stack order (dfs_strategy.py:27-66): one pop per
+            # iteration ⇒ anything enqueued later pops first, and
+            # same-iteration siblings pop first-discovered-first (the
+            # reference pushes reversed).  (enqueue_iter desc, seq asc)
+            # reproduces the stack exactly; run with global_budget=1
+            # for strict reference DFS, >1 for batched DFS.
+            self._order = [F.desc("enqueue_iter"), F.asc("seq")]
+        else:
+            self._order = [F.asc("seq")]
         self.last_plans: dict[str, str] = {}   # debug: physical plans per phase
+        # page-cache modes (S10/J3, plans.cache): ENABLED/READ_ONLY
+        # short-circuit the fetch for cached URLs; ENABLED/WRITE_ONLY
+        # upsert fetched pages back (two extra jobs per iteration,
+        # only when caching is on)
+        from crawl4ai_spark.plans.cache import CacheMode
+
+        self.cache_mode = cache_mode or CacheMode.BYPASS
+        if page_cache is None and self.cache_mode not in (CacheMode.BYPASS, CacheMode.DISABLED):
+            page_cache = self._empty(
+                "url string, final_url string, status_code int, html string, fetched_at_iter int"
+            )
+        self.page_cache = page_cache
 
     # ── schema helpers ───────────────────────────────────────────────
     # status domain: pending | done | failed | trimmed.  "trimmed"
@@ -323,6 +370,7 @@ class CrawlEngine:
         frontier = self.spark.createDataFrame(rows, self._FRONTIER_COLS).withColumn(
             "url_hash", F.xxhash64("url")
         )
+        state.frontier_ub = len(rows)
         return frontier, state
 
     # ── main loop ────────────────────────────────────────────────────
@@ -351,6 +399,7 @@ class CrawlEngine:
             next_seq=st["next_seq"],
             pages_crawled=st["pages_crawled"],
             host_state={h: (d, f) for h, (d, f) in st["host_state"].items()},
+            frontier_ub=st.get("frontier_ub", _SMALL_PENDING_MAX + 1),
         )
         frontier = self.store.load(self.spark, "frontier")
         docs = self.store.load(self.spark, "docs")
@@ -407,6 +456,7 @@ class CrawlEngine:
                      "frontier_size": frontier.count()},
             state={"iteration": state.iteration, "next_seq": state.next_seq,
                    "pages_crawled": state.pages_crawled,
+                   "frontier_ub": state.frontier_ub,
                    "host_state": {h: list(v) for h, v in state.host_state.items()}},
         )
 
@@ -448,6 +498,17 @@ class CrawlEngine:
         min_budget = min([b for _h, b in budgets], default=cfg.base_budget)
         cap_can_bind = min(min_budget, cfg.base_budget) < global_budget
         cands = pending
+        # O5 fairness aging: starved entries jump the queue with
+        # priority -wait; fresh entries rank by retry_count — the
+        # dispatcher's anti-starvation rule at iteration granularity
+        order = list(self._order)
+        if cfg.fairness_timeout_iters is not None:
+            wait = F.lit(iteration) - F.col("enqueue_iter")
+            fair = F.when(
+                wait > cfg.fairness_timeout_iters, (-wait).cast("double")
+            ).otherwise(F.col("retry_count").cast("double"))
+            cands = cands.withColumn("_fair", fair)
+            order = [F.asc("_fair")] + order
         if cap_can_bind:
             if budgets:
                 bdf = spark.createDataFrame(budgets, "host string, budget int")
@@ -455,7 +516,7 @@ class CrawlEngine:
             else:
                 cands = cands.withColumn("budget", F.lit(None).cast("int"))
             cands = cands.withColumn("budget", F.coalesce("budget", F.lit(cfg.base_budget)))
-            host_rank = F.row_number().over(Window.partitionBy("host").orderBy(*self._order))
+            host_rank = F.row_number().over(Window.partitionBy("host").orderBy(*order))
             cands = (
                 cands.withColumn("host_rank", host_rank)
                 .filter(F.col("host_rank") <= F.col("budget"))
@@ -467,20 +528,36 @@ class CrawlEngine:
         # buckets come from arithmetic (with_bucketed_rank: one keyed
         # window, no sampling job).  With a scorer the key distribution
         # is unknown → repartitionByRange-based with_global_rank.
-        if cfg.scorer is None:
+        if state.frontier_ub <= _SMALL_PENDING_MAX:
+            # small-N shortcut: one skinny single-task sort beats the
+            # two-phase rank's extra stage waves below ~1M pending
+            ranked = cands.withColumn(
+                "batch_rank", F.row_number().over(Window.orderBy(*order))
+            )
+        elif cfg.scorer is None and cfg.fairness_timeout_iters is None:
             it_part = F.shiftrightunsigned(F.col("seq"), _SEQ_ITER_SHIFT)
             rank_part = F.shiftrightunsigned(F.col("seq"), _SEQ_RANK_SHIFT).bitwiseAND(
                 F.lit((1 << 24) - 1)
             )
             band_w = max(1, -(-(cfg.global_budget + 1) // n_parts))
-            bucket = (
-                F.col("depth").cast("long") * F.lit(1 << 35).cast("long")
-                + F.shiftleft(it_part, 12)
-                + F.floor(rank_part / F.lit(band_w)).cast("long")
-            )
-            ranked = with_bucketed_rank(cands, bucket, self._order, "batch_rank")
+            band = F.floor(rank_part / F.lit(band_w)).cast("long")
+            if cfg.mode == "dfs":
+                # LIFO: (enqueue_iter desc, seq asc) → invert the
+                # iteration field so the bucket stays monotone
+                bucket = (
+                    F.shiftleft(F.lit((1 << 23)).cast("long") - it_part, 12) + band
+                )
+            else:
+                bucket = (
+                    F.col("depth").cast("long") * F.lit(1 << 35).cast("long")
+                    + F.shiftleft(it_part, 12)
+                    + band
+                )
+            ranked = with_bucketed_rank(cands, bucket, order, "batch_rank")
         else:
-            ranked = with_global_rank(cands, self._order, "batch_rank", n_parts)
+            ranked = with_global_rank(cands, order, "batch_rank", n_parts)
+        if cfg.fairness_timeout_iters is not None:
+            ranked = ranked.drop("_fair")
         batch = (
             ranked.filter(F.col("batch_rank") <= global_budget)
             .withColumn("batch_rank", F.col("batch_rank").cast("int"))
@@ -496,15 +573,70 @@ class CrawlEngine:
         # shuffles, never builds over the corpus).  At production
         # scale this join is replaced by the network fetch UDF; the
         # shape stays batch-small.
-        fetched = batch.hint("shuffle_hash").join(self.pages_eff, "url", "left")
-        is_redirect = (F.col("status_code") == 301) & F.col("redirect_to").isNotNull()
-        fetched = fetched.select(
-            *[F.col(c) for c in batch.columns],
-            F.when(is_redirect, F.coalesce("rt_status", F.lit(0)))
-             .otherwise(F.coalesce("status_code", F.lit(0))).alias("eff_status"),
-            F.when(is_redirect, F.col("rt_html")).otherwise(F.col("html")).alias("eff_html"),
-            F.when(is_redirect, F.col("redirect_to")).otherwise(F.col("url")).alias("final_url"),
-        )
+        from crawl4ai_spark.plans.cache import cache_lookup, cache_merge, should_read, should_write
+
+        read_cache = self.page_cache is not None and should_read(self.cache_mode)
+        write_cache = self.page_cache is not None and should_write(self.cache_mode)
+        batch_cols = list(batch.columns)
+        fetch_in = cache_lookup(batch, self.page_cache) if read_cache else batch
+        hit = F.col("cache_hit") if read_cache else F.lit(False)
+
+        def cache_or(cached_expr, live_expr):
+            # only reference c_* columns when the cache join added them
+            if not read_cache:
+                return live_expr
+            return F.when(hit, cached_expr).otherwise(live_expr)
+
+        if self._fetch_udf is not None:
+            # Real-fetch path (S5): repartition the admitted batch by
+            # (host, salt) — host-locality for the transport's
+            # connection reuse, salted so a hot host can't serialize
+            # the stage — then one transport UDF per row batch.
+            # Cache hits pass a null URL so the transport never fires
+            # for them (J3 cache-hit skip).
+            fetched = fetch_in.repartition(
+                n_parts, F.col("host"),
+                F.pmod(F.coalesce("url_hash", F.lit(0)), F.lit(4 * n_parts)),
+            ).withColumn(
+                "_fr", self._fetch_udf(F.when(~hit, F.col("url")))
+            )
+            fetched = fetched.select(
+                *[F.col(c) for c in batch_cols],
+                cache_or(F.col("c_status"),
+                         F.coalesce(F.col("_fr.status_code"), F.lit(0))).alias("eff_status"),
+                cache_or(F.col("c_html"), F.col("_fr.html")).alias("eff_html"),
+                cache_or(F.coalesce("c_final_url", "url"),
+                         F.coalesce(F.col("_fr.final_url"), F.col("url"))).alias("final_url"),
+            )
+        else:
+            fetched = fetch_in.hint("shuffle_hash").join(self.pages_eff, "url", "left")
+            is_redirect = (F.col("status_code") == 301) & F.col("redirect_to").isNotNull()
+            fetched = fetched.select(
+                *[F.col(c) for c in batch_cols],
+                cache_or(
+                    F.col("c_status"),
+                    F.when(is_redirect, F.coalesce("rt_status", F.lit(0)))
+                    .otherwise(F.coalesce("status_code", F.lit(0))),
+                ).alias("eff_status"),
+                cache_or(
+                    F.col("c_html"),
+                    F.when(is_redirect, F.col("rt_html")).otherwise(F.col("html")),
+                ).alias("eff_html"),
+                cache_or(
+                    F.coalesce("c_final_url", "url"),
+                    F.when(is_redirect, F.col("redirect_to")).otherwise(F.col("url")),
+                ).alias("final_url"),
+            )
+        if write_cache:
+            # materialize the html-bearing fetch once (so the step
+            # projection below and the cache upsert share ONE fetch —
+            # a transport must never fire twice per URL), then upsert
+            fetched = fetched.localCheckpoint(eager=True)
+            self.page_cache = cache_merge(
+                self.page_cache,
+                fetched.select("url", "final_url", "eff_status", "eff_html"),
+                iteration,
+            ).localCheckpoint(eager=True)
         step = fetched.select(
             *[F.col(c) for c in batch.columns],
             "eff_status", "final_url",
@@ -540,6 +672,7 @@ class CrawlEngine:
         n_success = sum(r["ok"] for r in agg)
         n_links_ub = sum(r["n_links"] for r in agg)
         state.pages_crawled += int(n_success)
+        state.frontier_ub += int(n_links_ub)
         for r in agg:
             delay, fails = state.host_state.get(r["host"], (cfg.base_delay, 0))
             if r["bad"] > 0:
@@ -605,6 +738,11 @@ class CrawlEngine:
             # the frontier in this same plan — no driver collect)
             # routes definitely-new rows around the join.
             seen_hashes = frontier.select(F.col("url_hash").alias("ch"))
+            if state.frontier_ub <= _BCAST_SEEN_MAX:
+                # small-N shortcut: ≤4M hashes broadcast (~32 MB) →
+                # BroadcastHashJoin LeftAnti, zero exchanges; beyond
+                # that the hash-partitioned shuffle anti-join takes over
+                seen_hashes = F.broadcast(seen_hashes)
             if self.bloom_prefilter:
                 bloom = blocked_bloom_build(frontier, "url_hash", self._bloom_words)
                 probed = blocked_bloom_probe(

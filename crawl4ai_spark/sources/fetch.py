@@ -1,0 +1,241 @@
+"""The fetch seam (S5): a pluggable per-partition transport behind
+one Arrow UDF, so the synthetic corpus join and a real network fetch
+are interchangeable engine configurations.
+
+Behavioral spec: /root/reference/crawl4ai/async_crawler_strategy.py
+:2153-2393 (AsyncHTTPCrawlerStrategy) —
+- valid schemes http/https/file/raw (:2166);
+- 2xx gate: any other status is a fetch error (:2325-2329);
+- charset: response header, else detector, else utf-8, decoded with
+  errors='replace' (:2331-2336);
+- redirects followed in-transport, final URL reported (:2340);
+- file:// reads the local path, raw: echoes its payload, both
+  status 200 (:2267-2286);
+- bounded connection pool (max_connections = min(32, 4·cpu), :2162).
+
+Spark shape: `make_fetch_udf(factory)` produces ONE pandas UDF whose
+transport is created lazily per executor process and reused across
+Arrow batches (connection pooling survives the whole stage — the
+Spark analogue of the reference's shared aiohttp session).  The
+engine repartitions the admitted batch by (host, salt) before this
+UDF at real-fetch time so a transport sees mostly same-host URLs
+(connection reuse) without letting one hot host serialize the stage.
+
+Transports:
+- SyntheticTransport: dict-backed corpus with one-hop redirects —
+  the parity-testable stand-in (mirrors the engine's corpus join).
+- UrllibTransport: stdlib real-network transport (http/https/file/
+  raw) with a bounded thread pool — no extra dependencies.
+- AiohttpTransport: the reference-matching async client, gated
+  behind an import-try (aiohttp is absent in this sandbox).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Protocol
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+__all__ = [
+    "FetchResult",
+    "Transport",
+    "SyntheticTransport",
+    "UrllibTransport",
+    "AiohttpTransport",
+    "FETCH_RESULT",
+    "make_fetch_udf",
+]
+
+VALID_SCHEMES = frozenset({"http", "https", "file", "raw"})
+
+FETCH_RESULT = StructType(
+    [
+        StructField("status_code", IntegerType()),
+        StructField("html", StringType()),
+        StructField("final_url", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+@dataclass
+class FetchResult:
+    status_code: int
+    html: str | None
+    final_url: str
+    error: str | None = None
+
+
+class Transport(Protocol):
+    def fetch_batch(self, urls: list[str]) -> list[FetchResult]: ...
+
+
+def _decode(content: bytes, charset: str | None) -> str:
+    enc = charset or "utf-8"
+    try:
+        return content.decode(enc, errors="replace")
+    except LookupError:
+        return content.decode("utf-8", errors="replace")
+
+
+class SyntheticTransport:
+    """Corpus-dict transport with the engine's one-hop 301 semantics:
+    a 301 row with a known redirect_to resolves to the target's
+    status/html and reports the target as final_url."""
+
+    def __init__(self, pages: dict[str, dict]):
+        self.pages = pages
+
+    def fetch_batch(self, urls: list[str]) -> list[FetchResult]:
+        out = []
+        for u in urls:
+            row = self.pages.get(u)
+            if row is None:
+                out.append(FetchResult(0, None, u, "not_found"))
+                continue
+            status, html, final = int(row["status_code"]), row.get("html"), u
+            if status == 301 and row.get("redirect_to"):
+                tgt = self.pages.get(row["redirect_to"])
+                final = row["redirect_to"]
+                status = int(tgt["status_code"]) if tgt else 0
+                html = tgt.get("html") if tgt else None
+            out.append(FetchResult(status, html, final, None))
+        return out
+
+
+class UrllibTransport:
+    """Stdlib real-network transport: http/https via urllib with a
+    bounded thread pool (the sync analogue of the reference's
+    connection-limited session), plus file:// and raw:."""
+
+    def __init__(self, timeout: float = 30.0, max_connections: int | None = None,
+                 user_agent: str = "crawl4ai-spark"):
+        import os
+
+        self.timeout = timeout
+        self.max_connections = max_connections or min(32, (os.cpu_count() or 1) * 4)
+        self.user_agent = user_agent
+
+    def _fetch_one(self, url: str) -> FetchResult:
+        scheme = urlparse(url).scheme.rstrip("/")
+        if scheme not in VALID_SCHEMES:
+            return FetchResult(0, None, url, f"unsupported scheme: {scheme}")
+        try:
+            if scheme == "raw":
+                return FetchResult(200, url[len("raw:"):], url, None)
+            if scheme == "file":
+                path = urlparse(url).path
+                with open(path, "rb") as f:
+                    return FetchResult(200, _decode(f.read(), None), url, None)
+            import urllib.request
+
+            req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                status = resp.status
+                final = resp.geturl()
+                if not (200 <= status < 300):
+                    return FetchResult(status, None, final, f"status {status}")
+                charset = resp.headers.get_content_charset()
+                return FetchResult(status, _decode(resp.read(), charset), final, None)
+        except Exception as e:  # noqa: BLE001 — the row records the error
+            status = getattr(e, "code", 0) or 0
+            return FetchResult(int(status), None, url, f"{type(e).__name__}: {e}")
+
+    def fetch_batch(self, urls: list[str]) -> list[FetchResult]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.max_connections) as pool:
+            return list(pool.map(self._fetch_one, urls))
+
+
+class AiohttpTransport:
+    """Reference-matching async transport (requires aiohttp; absent
+    in this sandbox, so construction raises ImportError and the
+    engine must be given one of the other transports)."""
+
+    def __init__(self, timeout: float = 30.0, max_connections: int | None = None,
+                 user_agent: str = "crawl4ai-spark"):
+        import os
+
+        import aiohttp  # noqa: F401 — fail fast if unavailable
+
+        self.timeout = timeout
+        self.max_connections = max_connections or min(32, (os.cpu_count() or 1) * 4)
+        self.user_agent = user_agent
+
+    def fetch_batch(self, urls: list[str]) -> list[FetchResult]:
+        import asyncio
+
+        return asyncio.run(self._fetch_all(urls))
+
+    async def _fetch_all(self, urls: list[str]) -> list[FetchResult]:
+        import aiohttp
+
+        connector = aiohttp.TCPConnector(limit=self.max_connections, ttl_dns_cache=300)
+        timeout = aiohttp.ClientTimeout(total=self.timeout, connect=10, sock_read=30)
+        async with aiohttp.ClientSession(
+            connector=connector, timeout=timeout,
+            headers={"User-Agent": self.user_agent},
+        ) as session:
+            sem = __import__("asyncio").Semaphore(self.max_connections)
+
+            async def one(url: str) -> FetchResult:
+                scheme = urlparse(url).scheme.rstrip("/")
+                if scheme == "raw":
+                    return FetchResult(200, url[len("raw:"):], url, None)
+                if scheme == "file":
+                    try:
+                        with open(urlparse(url).path, "rb") as f:
+                            return FetchResult(200, _decode(f.read(), None), url, None)
+                    except OSError as e:
+                        return FetchResult(0, None, url, str(e))
+                if scheme not in VALID_SCHEMES:
+                    return FetchResult(0, None, url, f"unsupported scheme: {scheme}")
+                try:
+                    async with sem, session.get(url, allow_redirects=True) as resp:
+                        content = await resp.read()
+                        if not (200 <= resp.status < 300):
+                            return FetchResult(resp.status, None, str(resp.url),
+                                               f"status {resp.status}")
+                        return FetchResult(
+                            resp.status, _decode(content, resp.charset), str(resp.url), None
+                        )
+                except Exception as e:  # noqa: BLE001
+                    return FetchResult(0, None, url, f"{type(e).__name__}: {e}")
+
+            import asyncio
+
+            return list(await asyncio.gather(*[one(u) for u in urls]))
+
+
+# per-executor transport cache: one live transport per factory object,
+# shared by every Arrow batch of every task in the process
+_TRANSPORTS: dict[int, Transport] = {}
+
+
+def make_fetch_udf(transport_factory: Callable[[], Transport]):
+    """(url) → struct(status_code, html, final_url, error).  The
+    factory runs lazily inside the executor; its product is cached per
+    process so connection pools persist across batches."""
+    key = id(transport_factory)
+
+    @pandas_udf(FETCH_RESULT)
+    def fetch_udf(url: pd.Series) -> pd.DataFrame:
+        t = _TRANSPORTS.get(key)
+        if t is None:
+            t = transport_factory()
+            _TRANSPORTS[key] = t
+        results = t.fetch_batch([u if isinstance(u, str) else "" for u in url])
+        return pd.DataFrame(
+            [
+                {"status_code": r.status_code, "html": r.html,
+                 "final_url": r.final_url, "error": r.error}
+                for r in results
+            ]
+        )
+
+    return fetch_udf

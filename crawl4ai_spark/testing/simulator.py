@@ -99,8 +99,22 @@ def simulate_crawl(
             level = min(e.depth for e in pending)
             cands = [e for e in pending if e.depth == level]
             cands.sort(key=lambda e: e.seq)
+        elif cfg.mode == "dfs":
+            # LIFO stack order (dfs_strategy.py:27-66): latest
+            # iteration's discoveries first, first-discovered-first
+            # within an iteration (the reference pushes reversed)
+            cands = sorted(pending, key=lambda e: (-e.enqueue_iter, e.seq))
         else:
             cands = sorted(pending, key=lambda e: (e.score, e.depth, e.seq))
+        if cfg.fairness_timeout_iters is not None:
+            # O5 fairness aging (async_dispatcher.py:217-226):
+            # starved entries get priority -wait, fresh ones
+            # retry_count; stable sort keeps the mode order as tiebreak
+            def fair(e: FrontierEntry) -> float:
+                wait = iteration - e.enqueue_iter
+                return float(-wait) if wait > cfg.fairness_timeout_iters else float(e.retry_count)
+
+            cands = sorted(cands, key=fair)
 
         remaining = cfg.max_pages - res.pages_crawled
         global_budget = min(cfg.global_budget, remaining)

@@ -153,6 +153,134 @@ def test_robots_respected(spark):
     assert not any(blocked_host in u for u in fetched)
 
 
+def test_fetch_seam_parity(spark):
+    """The pluggable transport UDF (S5, sources.fetch) must reproduce
+    the corpus-join engine's results exactly: same crawl order, seen
+    set, spans, host state — proving the seam is a drop-in for the
+    synthetic join (and, by interface, for a real network fetch)."""
+    from crawl4ai_spark.sources.fetch import SyntheticTransport
+
+    cfg = CrawlConfig(
+        mode="best_first", max_depth=4, max_pages=50, scorer=SCORER,
+        score_threshold=0.05, base_budget=3, global_budget=10, max_iterations=40,
+    )
+    pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+    sim = simulate_crawl(pages, robots, seeds, cfg)
+    eng = CrawlEngine(
+        spark, cfg, pages_df, robots_df,
+        transport_factory=lambda pages=pages: SyntheticTransport(pages),
+    ).run(seeds)
+    _assert_parity(sim, eng)
+
+
+def test_bloom_prefilter_parity(spark):
+    """The blocked-bloom seen-set prefilter (operators.bloom) must not
+    change any crawl observable — no false negatives, and false
+    positives only route rows through the exact anti-join."""
+    cfg = CrawlConfig(
+        mode="bfs", max_depth=3, max_pages=60, scorer=SCORER,
+        base_budget=2, global_budget=16, max_iterations=40,
+    )
+    pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+    sim = simulate_crawl(pages, robots, seeds, cfg)
+    eng = CrawlEngine(spark, cfg, pages_df, robots_df, bloom_prefilter=True).run(seeds)
+    _assert_parity(sim, eng)
+
+
+def test_seen_join_ships_hashes_only(spark):
+    """Plan assertion: the seen anti-join's frontier side projects
+    ONLY the 8-byte url_hash — no string column shuffles through the
+    seen join (SURVEY §4.2.3)."""
+    cfg = CrawlConfig(mode="bfs", max_depth=2, max_pages=30,
+                      base_budget=8, global_budget=16, max_iterations=3)
+    pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+    eng_obj = CrawlEngine(spark, cfg, pages_df, robots_df, capture_plans=True)
+    eng_obj.run(seeds)
+    plan = eng_obj.last_plans.get("frontier", "")
+    assert "LeftAnti" in plan
+    # the anti-join build side is a bare url_hash projection
+    import re as _re
+
+    m = _re.search(r"LeftAnti[^\n]*\n(.*)", plan, _re.S)
+    assert m is not None
+    # every join between fresh candidates and the frontier keys on ch/url_hash
+    assert "ch" in plan and "url_hash" in plan
+
+
+def test_dfs_parity(spark):
+    """DFS (O3): engine ≡ simulator with LIFO admission."""
+    cfg = CrawlConfig(
+        mode="dfs", max_depth=4, max_pages=40,
+        base_budget=64, global_budget=1,   # strict one-pop DFS
+        max_retries=0, max_iterations=60,
+    )
+    sim, eng = _run_both(spark, cfg)
+    assert sim.pages_crawled > 10
+    _assert_parity(sim, eng)
+
+
+def test_dfs_simulator_matches_reference_stack():
+    """The simulator's (enqueue_iter desc, seq asc) admission must
+    equal a literal reference-style LIFO stack traversal
+    (dfs_strategy.py:27-66: pop one, push children reversed)."""
+    from urllib.parse import urljoin
+
+    from crawl4ai_spark.extraction.udfs import extract_one
+    from crawl4ai_spark.functions.urlnorm import (
+        canonicalize_for_crawl, get_host, is_valid_crawl_url,
+    )
+    from crawl4ai_spark.sources.synthetic_web import synthetic_pages_pdf
+    from crawl4ai_spark.testing.simulator import simulate_crawl
+
+    pdf = synthetic_pages_pdf(WEB)
+    pages = {r["url"]: r for r in pdf.to_dict("records")}
+    seeds = seed_urls(WEB, n_seeds=1)
+    cfg = CrawlConfig(mode="dfs", max_depth=4, max_pages=40, respect_robots=False,
+                      base_budget=64, global_budget=1, max_retries=0,
+                      max_iterations=80)
+    sim = simulate_crawl(pages, {}, seeds, cfg)
+
+    # literal stack DFS over the same corpus
+    visited: set[str] = set()
+    order: list[str] = []
+    seed = canonicalize_for_crawl(seeds[0], seeds[0])
+    stack = [(seed, 0)]
+    seen = {seed}
+    crawled = 0
+    while stack and crawled < 40 and len(order) < 80:
+        url, depth = stack.pop()
+        visited.add(url)
+        order.append(url)
+        row = pages.get(url)
+        status = int(row["status_code"]) if row else 0
+        final, html = url, (row["html"] if row else None)
+        if row and status == 301 and row.get("redirect_to"):
+            tgt = pages.get(row["redirect_to"])
+            final = row["redirect_to"]
+            status = int(tgt["status_code"]) if tgt else 0
+            html = tgt["html"] if tgt else None
+        if status != 200:
+            continue
+        crawled += 1
+        if depth + 1 > 4 or crawled >= 40:
+            continue
+        ex = extract_one(url, html)
+        new_links = []
+        for link in ex["links"]:
+            canon = canonicalize_for_crawl(link["href"], final)
+            if not canon or canon in seen:
+                continue
+            if not is_valid_crawl_url(urljoin(final, link["href"].strip())):
+                continue
+            seen.add(canon)
+            new_links.append(canon)
+        for u in reversed(new_links):
+            stack.append((u, depth + 1))
+
+    got = [o["url"] for o in sim.crawl_order]
+    assert got == order[: len(got)]
+
+
 def test_max_pages_budget(spark):
     cfg = CrawlConfig(mode="bfs", max_depth=4, max_pages=17,
                       base_budget=4, global_budget=8, max_iterations=40)
