@@ -71,6 +71,18 @@ def canonicalize_for_crawl(href: str | None, base_url: str) -> str | None:
     return urlunparse((p.scheme, p.netloc.lower(), p.path.rstrip("/"), p.params, query, ""))
 
 
+def cheap_canonicalize(href: str | None, base_url: str) -> str | None:
+    """C3 cheap variant (efficient_normalize_url_for_deep_crawl,
+    utils.py:2276-2301): urljoin + lowercase host + drop fragment
+    ONLY — no query rewriting, no trailing-slash strip.  Used where
+    full canonical identity isn't needed (e.g. pre-filter passes)."""
+    if not href:
+        return None
+    full = urljoin(base_url, href.strip())
+    p = urlparse(full)
+    return urlunparse((p.scheme, p.netloc.lower(), p.path, p.params, p.query, ""))
+
+
 def normalize_url(
     href: str | None,
     base_url: str,

@@ -63,6 +63,20 @@ def scoring_stats(df: DataFrame, score_col: str = "score") -> DataFrame:
     )
 
 
+def queue_stats(frontier: DataFrame, current_iteration: int) -> DataFrame:
+    """Batch QueueStats (A5, async_dispatcher.py:509-521): pending
+    depth plus highest/average wait in iteration units.  (The
+    streaming variant with event-time windows lives in
+    streaming.continuous.fetch_metrics_stream.)"""
+    pending = frontier.filter(F.col("status") == "pending")
+    wait = F.lit(current_iteration) - F.col("enqueue_iter")
+    return pending.agg(
+        F.count(F.lit(1)).alias("total_queued"),
+        F.coalesce(F.max(wait), F.lit(0)).alias("highest_wait_iters"),
+        F.coalesce(F.avg(wait), F.lit(0.0)).alias("avg_wait_iters"),
+    )
+
+
 def match_config(
     url: Column,
     configs: list[dict],

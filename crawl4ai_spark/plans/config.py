@@ -51,6 +51,13 @@ class CrawlConfig:
     # with priority -wait (lower = higher priority); otherwise its
     # priority is retry_count.  None disables aging.
     fairness_timeout_iters: int | None = None
+    # False = throughput mode: per-host backoff state is not
+    # maintained (legitimate ONLY when budgets provably never bind —
+    # host_budget shrinks at most ×(max_delay/base_delay), so
+    # base_budget ≥ global_budget·max_delay/base_delay guarantees it).
+    # The engine then reads its superstep counters from observe()
+    # metrics instead of a per-host aggregation job.
+    track_host_state: bool = True
 
     def host_budget(self, current_delay: float) -> int:
         """Admissions this host gets this iteration: base_budget scaled

@@ -72,6 +72,7 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     IntegerType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -94,25 +95,45 @@ _SEQ_ITER_SHIFT = 40
 _SEQ_RANK_SHIFT = 16
 _SEQ_POS_MAX = (1 << 16) - 1
 
+# COLUMNAR output layout: nested values return as PARALLEL PRIMITIVE
+# ARRAYS, not arrays of structs.  Arrow conversion of list<primitive>
+# columns is a straight buffer build; list<struct-of-dict> columns
+# traverse every python dict and were the measured bottleneck
+# (~20 s/task of "time to run Python workers" spent converting the
+# output at 30k-page supersteps).  The JVM zips them back into the
+# span/link structs with arrays_zip — whole-stage-codegen, ~free.
+# The raw links/media arrays of EXTRACT_RESULT are NOT returned:
+# nothing downstream of the crawl loop reads them (plinks supersedes
+# links; media is already folded into the spans).
 STEP_EX = StructType(
-    list(EXTRACT_RESULT.fields)
-    + [
+    [
+        StructField("success", BooleanType()),
+        StructField("metadata", MapType(StringType(), StringType())),
+        StructField("span_kinds", ArrayType(StringType())),
+        StructField("span_texts", ArrayType(StringType())),
+        StructField("span_refs", ArrayType(StringType())),
+        StructField("span_offsets", ArrayType(IntegerType())),
+        StructField("raw_markdown", StringType()),
+        StructField("markdown_with_citations", StringType()),
+        StructField("references_markdown", StringType()),
         StructField("robots_ok", BooleanType()),
-        StructField(
-            "plinks",
-            ArrayType(
-                StructType(
-                    [
-                        StructField("link_pos", IntegerType()),
-                        StructField("abs_url", StringType()),
-                        StructField("canon", StringType()),
-                        StructField("host", StringType()),
-                    ]
-                )
-            ),
-        ),
+        StructField("pl_pos", ArrayType(IntegerType())),
+        StructField("pl_abs", ArrayType(StringType())),
+        StructField("pl_canon", ArrayType(StringType())),
+        StructField("pl_host", ArrayType(StringType())),
     ]
 )
+
+
+def spans_struct(ex) -> "F.Column":
+    """Rebuild array<struct<kind,text,media_ref,offset>> from the
+    columnar span arrays — native arrays_zip, zero Python."""
+    return F.arrays_zip(
+        ex["span_kinds"].alias("kind"),
+        ex["span_texts"].alias("text"),
+        ex["span_refs"].alias("media_ref"),
+        ex["span_offsets"].alias("offset"),
+    )
 
 
 def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
@@ -156,15 +177,40 @@ def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
                 parsers[h] = p
             return bool(p.can_fetch(user_agent, u))
 
-        empty = extract_one("", None)
-        rows = []
+        from urllib.parse import urljoin
+
+        cols: dict[str, list] = {f.name: [] for f in STEP_EX.fields}
+
+        def emit(success, metadata, kinds, texts, refs, offsets, raw, cited,
+                 refs_md, ok, pl_pos, pl_abs, pl_canon, pl_host):
+            cols["success"].append(success)
+            cols["metadata"].append(metadata)
+            cols["span_kinds"].append(kinds)
+            cols["span_texts"].append(texts)
+            cols["span_refs"].append(refs)
+            cols["span_offsets"].append(offsets)
+            cols["raw_markdown"].append(raw)
+            cols["markdown_with_citations"].append(cited)
+            cols["references_markdown"].append(refs_md)
+            cols["robots_ok"].append(ok)
+            cols["pl_pos"].append(pl_pos)
+            cols["pl_abs"].append(pl_abs)
+            cols["pl_canon"].append(pl_canon)
+            cols["pl_host"].append(pl_host)
+
         for u, h, fu, htm, st in zip(url, host, final_url, html, eff_status):
             ok = allowed(u, h)
             if not ok or st != 200 or not isinstance(htm, str):
-                rows.append({**empty, "robots_ok": ok, "plinks": []})
+                emit(False, {}, [], [], [], [], "", "", "", ok, [], [], [], [])
                 continue
             ex = extract_one(u, htm)
-            plinks = []
+            kinds, texts, refs, offsets = [], [], [], []
+            for s in ex["spans"]:
+                kinds.append(s["kind"])
+                texts.append(s["text"])
+                refs.append(s["media_ref"])
+                offsets.append(s["offset"])
+            pl_pos, pl_abs, pl_canon, pl_host = [], [], [], []
             for pos, link in enumerate(ex["links"]):
                 href = link["href"]
                 if not isinstance(href, str):
@@ -172,20 +218,17 @@ def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
                 canon = canonicalize_for_crawl(href, fu)
                 if not canon:
                     continue
-                if not allowed(canon, get_host(canon)):
+                lh = get_host(canon)
+                if not allowed(canon, lh):
                     continue
-                from urllib.parse import urljoin
-
-                plinks.append(
-                    {
-                        "link_pos": min(pos, _SEQ_POS_MAX),
-                        "abs_url": urljoin(fu, href.strip()),
-                        "canon": canon,
-                        "host": get_host(canon),
-                    }
-                )
-            rows.append({**ex, "robots_ok": True, "plinks": plinks})
-        return pd.DataFrame(rows)
+                pl_pos.append(min(pos, _SEQ_POS_MAX))
+                pl_abs.append(urljoin(fu, href.strip()))
+                pl_canon.append(canon)
+                pl_host.append(lh)
+            emit(True, ex["metadata"], kinds, texts, refs, offsets,
+                 ex["raw_markdown"], ex["markdown_with_citations"],
+                 ex["references_markdown"], True, pl_pos, pl_abs, pl_canon, pl_host)
+        return pd.DataFrame(cols)
 
     return step_udf
 
@@ -207,8 +250,11 @@ class CrawlState:
 # small-N plan shortcuts: below these driver-tracked bounds the
 # single-task / broadcast variants beat the scalable ones (each saves
 # 2-3 AQE stage waves of fixed driver latency per superstep)
-_SMALL_PENDING_MAX = 1 << 20          # rank window: sort ≤1M skinny rows
-_BCAST_SEEN_MAX = 1 << 22             # anti-join: broadcast ≤4M hashes (~32MB)
+_SMALL_PENDING_MAX = 1 << 16          # rank window: sort ≤64k skinny rows
+_BCAST_SEEN_MAX = 1 << 19             # anti-join: broadcast ≤512k hashes (~4MB);
+                                      # beyond that the driver round-trip of the
+                                      # broadcast build costs more than the
+                                      # parallel hash-shuffle anti-join
 
 
 @dataclass
@@ -241,6 +287,7 @@ class CrawlEngine:
         capture_plans: bool = False,
         partition_pages: bool = True,
         transport_factory=None,
+        transport_cache_key: str | None = None,
         page_cache: DataFrame | None = None,
         cache_mode=None,
     ) -> None:
@@ -263,7 +310,7 @@ class CrawlEngine:
         if transport_factory is not None:
             from crawl4ai_spark.sources.fetch import make_fetch_udf
 
-            self._fetch_udf = make_fetch_udf(transport_factory)
+            self._fetch_udf = make_fetch_udf(transport_factory, cache_key=transport_cache_key)
             self.pages_eff = None
         else:
             p = pages.select("url", "status_code", "redirect_to", "html")
@@ -627,6 +674,13 @@ class CrawlEngine:
                     F.when(is_redirect, F.col("redirect_to")).otherwise(F.col("url")),
                 ).alias("final_url"),
             )
+        # Stage width note: the fetch join's probe side is the CACHED
+        # pages_eff at a fixed n_parts partitioning, so the join (and
+        # the fused UDF that follows in the same stage) always runs at
+        # n_parts-way parallelism — AQE cannot coalesce a cached
+        # relation.  No repartition needed (an explicit one here would
+        # shuffle the heavy post-UDF output: Catalyst commutes the
+        # UDF projection below a url-only repartition).
         if write_cache:
             # materialize the html-bearing fetch once (so the step
             # projection below and the cache upsert share ONE fetch —
@@ -656,34 +710,59 @@ class CrawlEngine:
         )
         if self.capture_plans:
             self.last_plans["step"] = step._jdf.queryExecution().executedPlan().toString()
+        obs = None
+        if not cfg.track_host_state:
+            # throughput mode: superstep counters ride the checkpoint
+            # job as observe() metrics — no separate aggregation job
+            from pyspark.sql import Observation
+
+            obs = Observation(f"step_{iteration}")
+            step = step.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("outcome") == "success", 1).otherwise(0)).alias("ok"),
+                F.sum(F.coalesce(F.size("ex.pl_pos"), F.lit(0))).alias("n_links"),
+            )
         step = step.localCheckpoint(eager=True)
         _mark("fetch_extract")
 
         # ── job 3: counters + host-state deltas (A4) + link bound ────
-        agg = step.groupBy("host").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("outcome") == "success", 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("outcome").isin("retry", "gave_up"), 1).otherwise(0)).alias("bad"),
-            F.sum(F.coalesce(F.size("ex.plinks"), F.lit(0))).alias("n_links"),
-        ).collect()
-        if not agg:  # empty batch — frontier exhausted
-            state.iteration = iteration - 1
-            return None
-        n_success = sum(r["ok"] for r in agg)
-        n_links_ub = sum(r["n_links"] for r in agg)
-        state.pages_crawled += int(n_success)
-        state.frontier_ub += int(n_links_ub)
-        for r in agg:
-            delay, fails = state.host_state.get(r["host"], (cfg.base_delay, 0))
-            if r["bad"] > 0:
-                state.host_state[r["host"]] = (min(cfg.max_delay, delay * cfg.backoff_factor), fails + 1)
-            elif r["ok"] > 0:
-                state.host_state[r["host"]] = (max(cfg.base_delay, delay * cfg.decay_factor), 0)
+        if obs is not None:
+            m = obs.get
+            if m["n"] == 0:  # empty batch — frontier exhausted
+                state.iteration = iteration - 1
+                return None
+            n_success = int(m["ok"] or 0)
+            n_links_ub = int(m["n_links"] or 0)
+            state.pages_crawled += n_success
+            state.frontier_ub += n_links_ub
+        else:
+            agg = step.groupBy("host").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("outcome") == "success", 1).otherwise(0)).alias("ok"),
+                F.sum(F.when(F.col("outcome").isin("retry", "gave_up"), 1).otherwise(0)).alias("bad"),
+                F.sum(F.coalesce(F.size("ex.pl_pos"), F.lit(0))).alias("n_links"),
+            ).collect()
+            if not agg:  # empty batch — frontier exhausted
+                state.iteration = iteration - 1
+                return None
+            n_success = sum(r["ok"] for r in agg)
+            n_links_ub = sum(r["n_links"] for r in agg)
+            state.pages_crawled += int(n_success)
+            state.frontier_ub += int(n_links_ub)
+            for r in agg:
+                delay, fails = state.host_state.get(r["host"], (cfg.base_delay, 0))
+                if r["bad"] > 0:
+                    state.host_state[r["host"]] = (min(cfg.max_delay, delay * cfg.backoff_factor), fails + 1)
+                elif r["ok"] > 0:
+                    state.host_state[r["host"]] = (max(cfg.base_delay, delay * cfg.decay_factor), 0)
         _mark("host_agg")
 
         new_docs = step.filter(F.col("outcome") == "success").select(
             F.col("url").alias("doc_id"),
-            F.col("ex.spans").alias("spans"),
+            spans_struct(F.col("ex")).cast(
+                "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+            ).alias("spans"),
             F.col("ex.raw_markdown").alias("raw_markdown"),
             F.col("ex.markdown_with_citations").alias("markdown_with_citations"),
             F.col("ex.references_markdown").alias("references_markdown"),
@@ -704,7 +783,14 @@ class CrawlEngine:
                     F.col("url").alias("parent_url"),
                     F.col("batch_rank"),
                     (F.col("depth") + 1).alias("depth"),
-                    F.explode(F.col("ex.plinks")).alias("l"),
+                    F.explode(
+                        F.arrays_zip(
+                            F.col("ex.pl_pos").alias("link_pos"),
+                            F.col("ex.pl_abs").alias("abs_url"),
+                            F.col("ex.pl_canon").alias("canon"),
+                            F.col("ex.pl_host").alias("host"),
+                        )
+                    ).alias("l"),
                 )
                 .select(
                     "parent_url", "batch_rank", "depth",

@@ -42,7 +42,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
         .config("spark.sql.session.timeZone", "UTC")
         # 24g heap: the crawl loop holds a few GB of localCheckpoint
         # blocks between natural GCs.  Do NOT set a short

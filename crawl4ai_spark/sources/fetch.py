@@ -48,6 +48,8 @@ __all__ = [
     "AiohttpTransport",
     "FETCH_RESULT",
     "make_fetch_udf",
+    "make_head_probe_udf",
+    "head_probe_one",
 ]
 
 VALID_SCHEMES = frozenset({"http", "https", "file", "raw"})
@@ -105,6 +107,27 @@ class SyntheticTransport:
                 html = tgt.get("html") if tgt else None
             out.append(FetchResult(status, html, final, None))
         return out
+
+
+class ParquetSyntheticTransport(SyntheticTransport):
+    """SyntheticTransport whose corpus loads from a parquet file ONCE
+    per executor process (the bench's real-fetch stand-in: fetch cost
+    is O(batch) dict lookups, like a network fetch — not an O(corpus)
+    join probe per superstep)."""
+
+    def __init__(self, path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["url", "status_code", "redirect_to", "html"])
+        urls = t.column("url").to_pylist()
+        status = t.column("status_code").to_pylist()
+        rts = t.column("redirect_to").to_pylist()
+        htmls = t.column("html").to_pylist()
+        pages = {
+            u: {"status_code": s, "redirect_to": r, "html": h}
+            for u, s, r, h in zip(urls, status, rts, htmls)
+        }
+        super().__init__(pages)
 
 
 class UrllibTransport:
@@ -212,16 +235,79 @@ class AiohttpTransport:
             return list(await asyncio.gather(*[one(u) for u in urls]))
 
 
+def head_probe_one(transport: Transport, pages: dict | None, url: str,
+                   timeout: float = 10.0) -> str | None:
+    """HEAD liveness semantics (S8, async_url_seeder.py:679-706):
+    2xx → the URL itself; single 3xx → absolute redirect target;
+    anything else → None.  For the SyntheticTransport the corpus row's
+    status stands in for the HEAD response."""
+    from urllib.parse import urljoin
+
+    if pages is not None:  # synthetic corpus
+        row = pages.get(url)
+        if row is None:
+            return None
+        status = int(row["status_code"])
+        if 200 <= status < 300:
+            return url
+        if status in (301, 302, 303, 307, 308) and row.get("redirect_to"):
+            return urljoin(url, row["redirect_to"])
+        return None
+    import urllib.request
+
+    try:
+        req = urllib.request.Request(url, method="HEAD")
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):  # noqa: D401
+                return None
+
+        opener = urllib.request.build_opener(_NoRedirect)
+        with opener.open(req, timeout=timeout) as resp:
+            if 200 <= resp.status < 300:
+                return url
+            return None
+    except Exception as e:  # noqa: BLE001
+        code = getattr(e, "code", None)
+        if code in (301, 302, 303, 307, 308):
+            loc = getattr(e, "headers", {}).get("location") if hasattr(e, "headers") else None
+            if loc:
+                return urljoin(url, loc)
+        return None
+
+
+def make_head_probe_udf(transport_factory: Callable[[], Transport]):
+    """(url) → alive final URL or null — the seeder's HEAD gate."""
+    key = ("head", id(transport_factory))
+
+    @pandas_udf(StringType())
+    def head_udf(url: pd.Series) -> pd.Series:
+        t = _TRANSPORTS.get(key)
+        if t is None:
+            t = transport_factory()
+            _TRANSPORTS[key] = t
+        pages = t.pages if isinstance(t, SyntheticTransport) else None
+        return pd.Series(
+            [head_probe_one(t, pages, u if isinstance(u, str) else "") for u in url],
+            dtype=object,
+        )
+
+    return head_udf
+
+
 # per-executor transport cache: one live transport per factory object,
 # shared by every Arrow batch of every task in the process
-_TRANSPORTS: dict[int, Transport] = {}
+_TRANSPORTS: dict = {}
 
 
-def make_fetch_udf(transport_factory: Callable[[], Transport]):
+def make_fetch_udf(transport_factory: Callable[[], Transport], cache_key: str | None = None):
     """(url) → struct(status_code, html, final_url, error).  The
     factory runs lazily inside the executor; its product is cached per
-    process so connection pools persist across batches."""
-    key = id(transport_factory)
+    process so connection pools (or a loaded synthetic corpus) persist
+    across batches AND tasks.  Pass `cache_key` when the factory is
+    re-pickled per task (e.g. a functools.partial) — id() of a fresh
+    unpickle differs every task and would defeat the cache."""
+    key = cache_key or id(transport_factory)
 
     @pandas_udf(FETCH_RESULT)
     def fetch_udf(url: pd.Series) -> pd.DataFrame:
