@@ -666,6 +666,32 @@ def q_fit_markdown(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bm25_fit(spark, sf_dir):
+    """BM25 content filter (E6) through the Spark Arrow UDF
+    (content_filter_strategy.py:381-530 semantics): a two-chunk page
+    per document — a kept chunk carrying the user-query tokens plus
+    doc-varying text, and a noise chunk (the document body, sanitized)
+    that contains zero query tokens and therefore BM25-scores exactly
+    0 < threshold. Deterministic: kept set is always exactly the first
+    chunk, so the oracle can state fit_html/fit_markdown in SQL."""
+    from crawl4ai_spark.extraction.fit import make_bm25_fit_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    noise = F.substring(F.regexp_replace("text", r"[<>&]", " "), 1, 400)
+    html = F.concat(
+        F.lit("<html><body><p>zzfrontierzz zzcrawlzz doc "),
+        F.col("doc_id").cast("string"), F.lit(" from "), F.col("source"),
+        F.lit("</p><p>"), noise, F.lit("</p></body></html>"),
+    )
+    udf = make_bm25_fit_udf(user_query="zzfrontierzz zzcrawlzz", threshold=0.01)
+    out = docs.select("doc_id", udf(F.col("doc_id").cast("string"), html).alias("f"))
+    return out.select(
+        "doc_id",
+        F.col("f.fit_html").alias("fit_html"),
+        F.regexp_replace(F.col("f.fit_markdown"), r"\s+$", "").alias("fit_md"),
+    ).orderBy("doc_id")
+
+
 def q_css_extract(spark, sf_dir):
     """JSON-CSS schema extraction (E11): deterministic HTML built from
     the documents columns, extracted with a {baseSelector, fields[]}
@@ -1036,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_seed": q_sitemap_seed,
         "head_parse": q_head_parse,
         "fit_markdown": q_fit_markdown,
+        "bm25_fit": q_bm25_fit,
         "css_extract": q_css_extract,
         "link_scores": q_link_scores,
         "seo_score": q_seo_score,
@@ -1464,6 +1491,14 @@ def oracle_sql() -> dict[str, str]:
         "fit_markdown": f"""
             SELECT doc_id, length({_NORM_SQL.replace("lower(trim(text))", "trim(text)")}) AS fit_len,
                    false AS has_nav_leak
+            FROM documents ORDER BY doc_id
+        """,
+        "bm25_fit": """
+            SELECT doc_id,
+                   '<div><p>zzfrontierzz zzcrawlzz doc ' || doc_id::VARCHAR
+                     || ' from ' || source || '</p></div>' AS fit_html,
+                   'zzfrontierzz zzcrawlzz doc ' || doc_id::VARCHAR
+                     || ' from ' || source AS fit_md
             FROM documents ORDER BY doc_id
         """,
         "css_extract": r"""

@@ -25,6 +25,10 @@ from __future__ import annotations
 import math
 import re
 
+import pandas as pd  # module-level: pyspark resolves the UDF's string
+# annotations ('pd.Series') against this module's globals under
+# `from __future__ import annotations`.
+
 from crawl4ai_spark.extraction.htmlparse import Node, parse_html
 
 __all__ = [
@@ -222,7 +226,6 @@ def make_bm25_fit_udf(user_query: str | None = None, threshold: float = 1.0):
     """(url, html) → struct(fit_html, fit_markdown): the reference's
     fit pipeline — filtered chunks wrapped in <div>s, then markdown
     (markdown_generation_strategy.py:231-243)."""
-    import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import StringType, StructField, StructType
 

@@ -55,7 +55,10 @@ def test_text_chunks_document_order():
 
 def test_bm25_filter_keeps_relevant_drops_noise():
     kept = bm25_filter_chunks(HTML, threshold=0.5)
-    joined = " ".join(kept)
+    # The reference serializes cleaned chunk elements with their text
+    # AS-IS (raw source newlines preserved) — normalize whitespace
+    # only for the containment assertions.
+    joined = " ".join(" ".join(c.split()) for c in kept)
     assert "Crawling with Spark" in joined
     assert "frontier tables" in joined
     assert "tomato sauce" not in joined

@@ -18,18 +18,31 @@ from crawl4ai_spark.sources.fetch import SyntheticTransport, head_probe_one, mak
 # ── R10 url relevance (async_url_seeder.py:1196-1282 semantics) ──────
 
 def test_url_relevance_ordering():
+    # Goldens derived from the reference algorithm
+    # (async_url_seeder.py:1196-1282): a short path part that exactly
+    # equals a query token scores 0.7·|token|/|part| = 0.7, which
+    # OUTRANKS a long hyphenated slug containing all tokens
+    # (0.7·|token|/|slug| ≈ 0.22 each) — the reference has no
+    # hyphen-splitting, so "apache-spark-tuning" is one 19-char part.
     q = "apache spark tuning"
-    hi = url_relevance_score_py(q, "https://docs.example.com/apache-spark-tuning/guide")
-    mid = url_relevance_score_py(q, "https://example.com/spark/overview")
+    slug = url_relevance_score_py(q, "https://docs.example.com/apache-spark-tuning/guide")
+    exact_part = url_relevance_score_py(q, "https://example.com/spark/overview")
     lo = url_relevance_score_py(q, "https://example.com/cooking/pasta")
-    assert hi > mid > lo
-    assert 0.0 <= lo and hi <= 1.0
+    assert exact_part > slug > lo
+    assert abs(exact_part - 0.6944444444444444) < 1e-9
+    assert abs(slug - 0.20297940503432493) < 1e-9
+    assert 0.0 <= lo <= slug <= exact_part <= 1.0
 
 
 def test_url_relevance_exact_component():
-    # query contained in a path part → an exact-match 1.0 dominates
+    # query == a path part → token containment 0.7 plus the exact
+    # substring 1.0 diluted by 1/(i+1) weighting over the other
+    # evidence rows (domain tokens, n-gram jaccard) → 0.7545…, NOT 1.0
+    # (the reference averages; it does not take the max).
     s = url_relevance_score_py("spark", "https://example.com/spark")
-    assert s > 0.8
+    assert abs(s - 0.7545454545454546) < 1e-9
+    # and it beats a URL where the token is merely a slug prefix
+    assert s > url_relevance_score_py("spark", "https://example.com/sparkling-water")
     assert url_relevance_score_py("", "https://example.com/x") == 0.0
     assert url_relevance_score_py("q", "") == 0.0
 
