@@ -297,6 +297,30 @@ def q_lsh_pairs(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
+    """The real 100 TB near-dup cascade: minhash → LSH banding →
+    exact Jaccard verification on the candidate pairs only.  Work is
+    bounded by |LSH candidates| × shingles/doc at every scale — the
+    quadratic inverted-index self-join never happens."""
+    from crawl4ai_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "text", "doc_id", num_perm=8, shingle_n=3)
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2)
+    return (
+        jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.12, candidates=cand)
+        .withColumn("jaccard", F.round("jaccard", 6))
+        .orderBy("a", "b")
+    )
+
+
+def q_jaccard_rare(spark, sf_dir):
+    """Standalone rare-shingle candidate path (no LSH): pairs sharing
+    ≥1 shingle with document frequency ≤ max_df.  Exercises the
+    hot-shingle guard that keeps the inverted-index join sub-quadratic."""
     from crawl4ai_spark.operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1044,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_rare": q_jaccard_rare,
         "simhash": q_simhash,
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
@@ -1244,6 +1269,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY a, b
         """,
         "jaccard_pairs": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
+              FROM w
+            ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            sig AS (
+              SELECT doc_id, perm, min(md5(shingle || '#p' || perm::VARCHAR)) AS minhash
+              FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm)
+              GROUP BY doc_id, perm
+            ), banded AS (
+              SELECT doc_id, perm // 2 AS band,
+                     array_to_string(list_sort(list(minhash)), '|') AS band_key
+              FROM sig GROUP BY doc_id, perm // 2
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM banded x JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+              WHERE x.doc_id < y.doc_id
+            ),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh sx ON sx.doc_id = c.a
+              JOIN sh sy ON sy.doc_id = c.b AND sy.shingle = sx.shingle
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+            FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+            WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.12
+            ORDER BY a, b
+        """,
+        "jaccard_rare": f"""
             WITH w AS (SELECT doc_id, {words} AS words FROM documents),
             sh AS (
               SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
