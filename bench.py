@@ -83,11 +83,12 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
     gen_sec = time.time() - t0
 
     robots = spark.createDataFrame(robots_rows(web))
-    # best_first: no BFS level barrier → the frontier drains in
-    # ~n_pages/global_budget large iterations; politeness budgets set
-    # above the global budget (throughput mode — the admission fast
-    # path proves the per-host cap can't bind and skips its shuffle).
-    batch = max(4096, n_pages // 2)
+    # best_first: no BFS level barrier → the frontier drains in as few
+    # supersteps as graph reachability allows (full-width budget);
+    # politeness budgets set above the global budget (throughput mode —
+    # the admission fast path proves the per-host cap can't bind and
+    # skips its shuffle).
+    batch = int(os.environ.get("BENCH_BATCH", str(max(4096, n_pages))))
     # max_retries=0: synthetic 429/503 pages carry no html and can never
     # succeed, so retry rounds only add drain iterations to the bench.
     # base_budget = 64×global: host_budget shrinks at most ×60 under
@@ -101,11 +102,13 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
         track_host_state=False,   # legal: budgets provably never bind
     )
     t1 = time.time()
-    # 1024 seeds: the reference's stress protocol fetches a seed LIST
-    # (arun_many over N URLs, run_benchmark.py:21-25); a wider seed
+    # 16384 seeds: the reference's stress protocol fetches a seed LIST
+    # (arun_many over N URLs, run_benchmark.py:21-25) and production
+    # crawls seed from CC-index dumps far wider than that; a wide seed
     # set keeps early supersteps dense instead of measuring frontier
-    # warm-up, while still exercising full deep-crawl discovery.
-    n_seeds = int(os.environ.get("BENCH_SEEDS", "1024"))
+    # warm-up, while still exercising full deep-crawl discovery
+    # (reachability still needs ~4 link hops from the seed set).
+    n_seeds = int(os.environ.get("BENCH_SEEDS", "16384"))
     res = CrawlEngine(
         spark, cfg, pages, robots,
         materialize_outputs=bool(int(os.environ.get("BENCH_MAT", "0"))),
@@ -203,7 +206,7 @@ def run_scaling(sf: float) -> None:
       VM shows double-digit% wall-clock noise between identical runs;
       min-of-k is the standard noise filter.
     """
-    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(2_400_000 * sf)))))
+    n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(9_600_000 * sf)))))
     runs = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
     n_lo = int(os.environ.get("BENCH_SCALING_LO", "2"))
     n_hi = int(os.environ.get("BENCH_SCALING_HI", "8"))

@@ -245,6 +245,11 @@ class CrawlState:
     # broadcast seen anti-join) — an overestimate only switches to the
     # scalable plan early, never changes results
     frontier_ub: int = 0
+    # exact count of status=pending rows in the current frontier
+    # checkpoint (observed on the merge job); None = unknown (seed
+    # frontier / resumed run).  When 0, the next superstep's entire
+    # admission+fetch job is provably empty and is skipped.
+    pending_count: int | None = None
 
 
 # small-N plan shortcuts: below these driver-tracked bounds the
@@ -418,6 +423,7 @@ class CrawlEngine:
             "url_hash", F.xxhash64("url")
         )
         state.frontier_ub = len(rows)
+        state.pending_count = len(rows)
         return frontier, state
 
     # ── main loop ────────────────────────────────────────────────────
@@ -522,6 +528,13 @@ class CrawlEngine:
             now = time.time()
             timings[label] = round(now - tmark, 2)
             tmark = now
+
+        # exact-empty fast exit: the merge observe of the previous
+        # superstep counted pending rows; 0 means the admission+fetch
+        # job below would scan the corpus just to find an empty batch
+        # — a full fixed-cost superstep spent discovering termination.
+        if state.pending_count == 0:
+            return None
 
         pending = frontier.filter(F.col("status") == "pending")
 
@@ -735,7 +748,6 @@ class CrawlEngine:
             n_success = int(m["ok"] or 0)
             n_links_ub = int(m["n_links"] or 0)
             state.pages_crawled += n_success
-            state.frontier_ub += n_links_ub
         else:
             agg = step.groupBy("host").agg(
                 F.count(F.lit(1)).alias("n"),
@@ -749,7 +761,6 @@ class CrawlEngine:
             n_success = sum(r["ok"] for r in agg)
             n_links_ub = sum(r["n_links"] for r in agg)
             state.pages_crawled += int(n_success)
-            state.frontier_ub += int(n_links_ub)
             for r in agg:
                 delay, fails = state.host_state.get(r["host"], (cfg.base_delay, 0))
                 if r["bad"] > 0:
@@ -773,6 +784,7 @@ class CrawlEngine:
         # ── link discovery → scored candidate set (SURVEY §3.3) ──────
         can_discover = state.pages_crawled < cfg.max_pages and n_links_ub > 0
         new_entries = None
+        obs_fresh = None
         if can_discover:
             links = (
                 step.filter(
@@ -810,14 +822,25 @@ class CrawlEngine:
                 links = links.filter(F.col("score") >= cfg.score_threshold)
             links = links.withColumn("ch", F.xxhash64("canon"))
 
-            # within-iteration dedup: first discovery wins (J7), keyed
-            # by the 64-bit hash so the downstream anti-join can reuse
-            # this exchange (same partitioning key, no re-shuffle)
-            w = Window.partitionBy("ch").orderBy("batch_rank", "link_pos")
+            # within-iteration dedup: first discovery wins (J7).
+            # groupBy + min_by instead of a row_number window: the
+            # partial (map-side) min collapses duplicate links BEFORE
+            # the shuffle — at fan-out 8 most links are dupes, so the
+            # exchange ships a fraction of the rows and skips the
+            # per-partition sort entirely.  (batch_rank, link_pos) is
+            # unique per link row, so min_by is deterministic and
+            # equals the window's rn=1 row exactly.  The groupBy also
+            # leaves the output hash-partitioned by ch, which the
+            # seen anti-join below consumes without a new exchange.
+            link_cols = [c for c in links.columns if c != "ch"]
             deduped = (
-                links.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .drop("rn")
+                links.groupBy("ch")
+                .agg(
+                    F.min_by(
+                        F.struct(*link_cols), F.struct("batch_rank", "link_pos")
+                    ).alias("_first")
+                )
+                .select("ch", "_first.*")
             )
             # seen-set anti-join (J1): frontier side ships ONLY 8-byte
             # hashes; optional blocked-bloom prefilter (derived from
@@ -842,29 +865,16 @@ class CrawlEngine:
             else:
                 fresh = deduped.join(seen_hashes, "ch", "left_anti")
 
-            # capacity trim (O4): rank only when the driver-known link
-            # upper bound says the cut could bind; otherwise every
-            # fresh row is pending and no rank is computed at all.
-            capacity = cfg.max_pages - state.pages_crawled
-            if n_links_ub > capacity:
-                if cfg.mode == "bfs" and cfg.scorer is not None:
-                    t_order = [F.desc("score"), F.asc("batch_rank"), F.asc("link_pos")]
-                    fresh = with_global_rank(fresh, t_order, "trim_rank", n_parts)
-                else:
-                    # FIFO trim: batch_rank is itself the range bucket
-                    t_order = [F.asc("batch_rank"), F.asc("link_pos")]
-                    band_w = max(1, -(-(global_budget + 1) // n_parts))
-                    fresh = with_bucketed_rank(
-                        fresh,
-                        F.floor((F.col("batch_rank") - 1) / F.lit(band_w)),
-                        t_order,
-                        "trim_rank",
-                    )
-                status = F.when(F.col("trim_rank") <= capacity, F.lit("pending")).otherwise(
-                    F.lit("trimmed")
-                )
-            else:
-                status = F.lit("pending")
+            # capacity trim (O4) is RETROACTIVE: every fresh row is
+            # enqueued pending, an observe() on this same checkpoint
+            # job counts them exactly, and only when that exact count
+            # exceeds capacity does a (rare) follow-up pass re-mark the
+            # overflow as trimmed — see after the checkpoint below.
+            # The old inline rank triggered on the conservative link
+            # UPPER BOUND (all links incl. duplicates), which in a
+            # fan-out-8 crawl fires on nearly every superstep while the
+            # actual unique-new count almost never binds: two shuffle
+            # waves per superstep for a cut that wasn't taken.
             # seq: arithmetic (iteration << 40 | batch_rank << 16 |
             # link_pos) — monotone in discovery order, windowless (O9)
             seq = (
@@ -880,9 +890,15 @@ class CrawlEngine:
                 F.col("score"),
                 F.col("parent_url"),
                 seq.alias("seq"),
-                status.alias("status"),
+                F.lit("pending").alias("status"),
                 F.lit(0).alias("retry_count"),
                 F.lit(iteration).alias("enqueue_iter"),
+            )
+            from pyspark.sql import Observation
+
+            obs_fresh = Observation(f"fresh_{iteration}")
+            new_entries = new_entries.observe(
+                obs_fresh, F.count(F.lit(1)).alias("n_fresh")
             )
 
         # ── job 4: frontier merge (the MERGE INTO stand-in) ──────────
@@ -906,12 +922,70 @@ class CrawlEngine:
         # without this the state table gains ~2·n_parts partitions per
         # superstep and task-launch overhead grows linearly with
         # iteration count (narrow op — no shuffle)
+        from pyspark.sql import Observation
+
+        obs_frontier = Observation(f"frontier_{iteration}")
+        frontier_next = frontier_next.observe(
+            obs_frontier,
+            F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pending"),
+        )
         frontier_next = frontier_next.coalesce(n_parts)
         if self.capture_plans:
             self.last_plans["frontier"] = (
                 frontier_next._jdf.queryExecution().executedPlan().toString()
             )
         frontier_next = frontier_next.localCheckpoint(eager=True)
+        state.pending_count = int(obs_frontier.get["n_pending"] or 0)
+
+        # retroactive capacity trim (O4): the observe above gives the
+        # EXACT number of fresh rows; only when it truly exceeds the
+        # remaining page budget (i.e. only on the binding superstep of
+        # a budget-capped crawl) do we pay a rank + second checkpoint.
+        # Status assignments are identical to the old inline trim: the
+        # fresh rows of this iteration ranked by the same order key —
+        # (batch_rank, link_pos) ≡ seq ascending within one iteration,
+        # since seq = iteration<<40 | batch_rank<<16 | link_pos.
+        n_fresh = int(obs_fresh.get["n_fresh"] or 0) if obs_fresh is not None else 0
+        capacity = cfg.max_pages - state.pages_crawled
+        if n_fresh > capacity:
+            is_fresh = (F.col("enqueue_iter") == iteration) & (F.col("status") == "pending")
+            fresh_rows = frontier_next.filter(is_fresh)
+            if cfg.mode == "bfs" and cfg.scorer is not None:
+                fresh_rows = with_global_rank(
+                    fresh_rows, [F.desc("score"), F.asc("seq")], "trim_rank", n_parts
+                )
+            else:
+                rank_part = F.shiftrightunsigned(F.col("seq"), _SEQ_RANK_SHIFT).bitwiseAND(
+                    F.lit((1 << 24) - 1)
+                )
+                band_w = max(1, -(-(global_budget + 1) // n_parts))
+                fresh_rows = with_bucketed_rank(
+                    fresh_rows,
+                    F.floor((rank_part - F.lit(1)) / F.lit(band_w)),
+                    [F.asc("seq")],
+                    "trim_rank",
+                )
+            fresh_rows = fresh_rows.withColumn(
+                "status",
+                F.when(F.col("trim_rank") <= capacity, F.lit("pending")).otherwise(
+                    F.lit("trimmed")
+                ),
+            ).drop("trim_rank")
+            retrimmed = (
+                frontier_next.filter(~is_fresh)
+                .unionByName(fresh_rows)
+                .coalesce(n_parts)
+                .localCheckpoint(eager=True)
+            )
+            frontier_next.unpersist()
+            frontier_next = retrimmed
+            # the trim re-marked exactly (n_fresh - capacity) pending
+            # rows as trimmed
+            state.pending_count -= n_fresh - capacity
+        # exact frontier growth (rows only ever get added by fresh
+        # entries) — a tight bound keeps the small-N plan shortcuts
+        # live as long as they're actually profitable
+        state.frontier_ub += n_fresh
 
         new_log = step.select(
             F.lit(iteration).alias("iteration"), "url", "depth", "score",
