@@ -136,7 +136,8 @@ def spans_struct(ex) -> "F.Column":
     )
 
 
-def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
+def make_step_udf(robots_map: dict[str, str] | None, user_agent: str,
+                  rules_from_col: bool = False):
     """ONE fused Arrow UDF for all per-page Python work: the fetch
     robots gate, scrape→markdown→spans extraction, and per-link
     resolution/canonicalization/robots prep.
@@ -147,21 +148,25 @@ def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
     and separate nodes pay Arrow serialization of the ~9 KB html per
     hop.  One node, one worker, one transfer.
 
-    robots_map is the collected (host → rules) dim — small by
-    assumption here (broadcast closure); at 10^8-host scale this
-    reverts to a dim-table join feeding the same UDF.
-
-    Link-level checks are order-independent (no side effects before
-    the seen-set insert), so dropping robots-blocked / null-canon
-    links here instead of after the native filters is semantics-
-    preserving (testing.simulator keeps the reference's check order).
+    Two robots modes (J4):
+    - closure mode (rules_from_col=False): robots_map is the collected
+      (host → rules) dim — legitimate while the dim is broadcast-small.
+      The UDF gates BOTH the page fetch and every discovered link.
+    - dim-join mode (rules_from_col=True, the 10^8-host scale path):
+      the page's own rules arrive as a JOINED COLUMN (no driver
+      collect anywhere); the UDF gates only the page fetch, and the
+      engine gates links downstream via a robots dim join + vectorized
+      can_fetch over the exploded link set.  Link-level checks are
+      order-independent (no side effects before the seen-set insert),
+      so gating links before vs after the native filters is semantics-
+      preserving — the parity suite pins both paths to the simulator.
     """
     from crawl4ai_spark.sources.robots import build_parser
 
     @pandas_udf(STEP_EX)
     def step_udf(
         url: pd.Series, host: pd.Series, final_url: pd.Series,
-        html: pd.Series, eff_status: pd.Series,
+        html: pd.Series, eff_status: pd.Series, rules_col: pd.Series,
     ) -> pd.DataFrame:
         parsers: dict[str, object] = {}
 
@@ -175,6 +180,17 @@ def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
             if p is None:
                 p = build_parser(rules)
                 parsers[h] = p
+            return bool(p.can_fetch(user_agent, u))
+
+        # dim-join mode: parser memoized per distinct rules TEXT (hosts
+        # sharing a rules body share one parser within the batch)
+        def allowed_by_rules(u: str, rules: str | None) -> bool:
+            if rules is None or not rules.strip():
+                return True
+            p = parsers.get(rules)
+            if p is None:
+                p = build_parser(rules)
+                parsers[rules] = p
             return bool(p.can_fetch(user_agent, u))
 
         from urllib.parse import urljoin
@@ -198,8 +214,10 @@ def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
             cols["pl_canon"].append(pl_canon)
             cols["pl_host"].append(pl_host)
 
-        for u, h, fu, htm, st in zip(url, host, final_url, html, eff_status):
-            ok = allowed(u, h)
+        for u, h, fu, htm, st, rl in zip(
+            url, host, final_url, html, eff_status, rules_col
+        ):
+            ok = allowed_by_rules(u, rl) if rules_from_col else allowed(u, h)
             if not ok or st != 200 or not isinstance(htm, str):
                 emit(False, {}, [], [], [], [], "", "", "", ok, [], [], [], [])
                 continue
@@ -219,7 +237,7 @@ def make_step_udf(robots_map: dict[str, str] | None, user_agent: str):
                 if not canon:
                     continue
                 lh = get_host(canon)
-                if not allowed(canon, lh):
+                if not rules_from_col and not allowed(canon, lh):
                     continue
                 pl_pos.append(min(pos, _SEQ_POS_MAX))
                 pl_abs.append(urljoin(fu, href.strip()))
@@ -250,6 +268,10 @@ class CrawlState:
     # frontier / resumed run).  When 0, the next superstep's entire
     # admission+fetch job is provably empty and is skipped.
     pending_count: int | None = None
+    # table-mode politeness (J5): the worst (largest) per-host delay,
+    # observed as a SCALAR on the host-state merge job — drives the
+    # admission fast path without ever collecting per-host rows
+    max_delay_seen: float = 0.0
 
 
 # small-N plan shortcuts: below these driver-tracked bounds the
@@ -269,6 +291,11 @@ class CrawlResultTables:
     docs: DataFrame
     crawl_log: DataFrame
     state: CrawlState
+    # table-mode politeness (J5): the distributed (host, delay, fails)
+    # dim; None in dict mode.  state.host_state is materialized from
+    # it ONCE at run end (reporting/parity surface only — the loop
+    # itself never collects host rows in table mode).
+    host_state_df: DataFrame | None = None
 
 
 class CrawlEngine:
@@ -295,6 +322,9 @@ class CrawlEngine:
         transport_cache_key: str | None = None,
         page_cache: DataFrame | None = None,
         cache_mode=None,
+        robots_as_table: bool = False,
+        host_state_as_table: bool = False,
+        bucketed_frontier: bool = False,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
@@ -360,10 +390,41 @@ class CrawlEngine:
         # × crawled, and overload only raises FP (never correctness).
         cap = min(max(cfg.max_pages, 1), 1 << 24)
         self._bloom_words = max(1 << 12, cap)
+        # J4 robots gate: closure mode collects the (host → rules) dim
+        # into the UDF (fine while robots is broadcast-small); table
+        # mode (robots_as_table=True, the 10^8-host scale path) NEVER
+        # collects — rules reach the fetch gate as a joined column and
+        # links are gated by a dim join + vectorized can_fetch.
+        self.robots_as_table = bool(robots_as_table)
+        self._robots_dim = None
+        self._link_robots_udf = None
         robots_map = None
         if cfg.respect_robots and robots is not None:
-            robots_map = {r["host"]: r["rules"] for r in robots.select("host", "rules").collect()}
-        self._step_udf = make_step_udf(robots_map, cfg.user_agent)
+            if self.robots_as_table:
+                from crawl4ai_spark.sources.robots import make_can_fetch_udf
+
+                self._robots_dim = robots.select("host", "rules")
+                self._link_robots_udf = make_can_fetch_udf(cfg.user_agent)
+            else:
+                robots_map = {
+                    r["host"]: r["rules"]
+                    for r in robots.select("host", "rules").collect()
+                }
+        self._step_udf = make_step_udf(
+            robots_map, cfg.user_agent, rules_from_col=self._robots_dim is not None
+        )
+        # J5 politeness state: table mode keeps (host, delay, fails) as
+        # a distributed dim MERGE'd per superstep from the same outcome
+        # agg the dict path collects — no per-superstep driver collect.
+        self.host_state_as_table = bool(host_state_as_table)
+        self._host_df: DataFrame | None = None
+        if self.host_state_as_table and cfg.track_host_state:
+            self._host_df = self._empty("host string, delay double, fails int")
+        # §4.2.3 bucketed frontier: keep the frontier checkpoint hash-
+        # partitioned by url_hash so the seen anti-join consumes it
+        # with NO exchange on the seen side (the in-sandbox analogue of
+        # Iceberg bucket storage + storage-partitioned joins).
+        self.bucketed_frontier = bool(bucketed_frontier)
         if cfg.mode == "best_first":
             # reference min-heap: lower score first, FIFO tiebreak
             self._order = [F.asc("score"), F.asc("depth"), F.asc("seq")]
@@ -406,6 +467,21 @@ class CrawlEngine:
     def _empty(self, schema: str) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    def _ckpt_bucketed(self, df: DataFrame) -> DataFrame:
+        """localCheckpoint that PRESERVES HashPartitioning(url_hash).
+        Under AQE the checkpoint captures AdaptiveSparkPlanExec's
+        partitioning as Unknown (measured: the seen-side exchange
+        reappears), so this one job runs with AQE off; every other job
+        in the loop keeps AQE.  On Iceberg this whole concern becomes
+        a bucket(url_hash) table write."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
+
     # ── seeds ────────────────────────────────────────────────────────
     def _seed_frontier(self, seeds: list[str]) -> tuple[DataFrame, CrawlState]:
         state = CrawlState()
@@ -429,6 +505,12 @@ class CrawlEngine:
     # ── main loop ────────────────────────────────────────────────────
     def run(self, seeds: list[str]) -> CrawlResultTables:
         frontier, state = self._seed_frontier(seeds)
+        if self.bucketed_frontier:
+            # hash-bucket the seed frontier once; every subsequent
+            # checkpoint preserves the bucketing (see _iterate merge)
+            frontier = self._ckpt_bucketed(
+                frontier.repartition(self._n_parts, "url_hash")
+            )
         docs = self._empty(self._DOCS_COLS)
         log = self._empty(self._LOG_COLS)
         return self._loop(frontier, docs, log, state)
@@ -453,7 +535,13 @@ class CrawlEngine:
             pages_crawled=st["pages_crawled"],
             host_state={h: (d, f) for h, (d, f) in st["host_state"].items()},
             frontier_ub=st.get("frontier_ub", _SMALL_PENDING_MAX + 1),
+            max_delay_seen=st.get("max_delay_seen", 0.0),
         )
+        if self._host_df is not None:
+            try:
+                self._host_df = self.store.load(self.spark, "host_state")
+            except Exception:
+                pass  # resuming a dict-mode snapshot: start empty
         frontier = self.store.load(self.spark, "frontier")
         docs = self.store.load(self.spark, "docs")
         log = self.store.load(self.spark, "crawl_log")
@@ -489,8 +577,14 @@ class CrawlEngine:
             self._commit(frontier, docs, log, state)
         return self._result(frontier, docs, log, state)
 
-    @staticmethod
-    def _result(frontier, docs, log, state) -> CrawlResultTables:
+    def _result(self, frontier, docs, log, state) -> CrawlResultTables:
+        if self._host_df is not None:
+            # one collect at RUN END only (reporting/parity surface —
+            # the loop itself never ships host rows to the driver)
+            state.host_state = {
+                r["host"]: (r["delay"], r["fails"])
+                for r in self._host_df.collect()
+            }
         return CrawlResultTables(
             frontier=frontier.filter(F.col("status") != "trimmed"),
             seen=frontier.select(
@@ -499,17 +593,24 @@ class CrawlEngine:
             docs=docs,
             crawl_log=log,
             state=state,
+            host_state_df=self._host_df,
         )
 
     def _commit(self, frontier, docs, log, state) -> None:
+        tables = {"frontier": frontier, "docs": docs, "crawl_log": log}
+        if self._host_df is not None:
+            # table-mode politeness state checkpoints as a TABLE (the
+            # manifest dict stays empty — host rows never leave Spark)
+            tables["host_state"] = self._host_df
         self.store.commit(
             snapshot_id=state.iteration,
-            tables={"frontier": frontier, "docs": docs, "crawl_log": log},
+            tables=tables,
             metrics={"pages_crawled": state.pages_crawled,
                      "frontier_size": frontier.count()},
             state={"iteration": state.iteration, "next_seq": state.next_seq,
                    "pages_crawled": state.pages_crawled,
                    "frontier_ub": state.frontier_ub,
+                   "max_delay_seen": state.max_delay_seen,
                    "host_state": {h: list(v) for h, v in state.host_state.items()}},
         )
 
@@ -547,7 +648,12 @@ class CrawlEngine:
 
         # ── job 1: politeness admission window (P1): per-host budget
         #    rank (keyed window), then exact PARALLEL global top-K ────
-        budgets = [(h, cfg.host_budget(d)) for h, (d, _f) in state.host_state.items()]
+        table_mode = self._host_df is not None
+        budgets = (
+            []
+            if table_mode
+            else [(h, cfg.host_budget(d)) for h, (d, _f) in state.host_state.items()]
+        )
         remaining = cfg.max_pages - state.pages_crawled
         global_budget = min(cfg.global_budget, remaining)
 
@@ -555,7 +661,12 @@ class CrawlEngine:
         # per-host cap provably cannot change the admitted set (any row
         # ranked past its host cap is also past the global cut) — skip
         # the extra shuffle+window.  This is the throughput-bench mode.
-        min_budget = min([b for _h, b in budgets], default=cfg.base_budget)
+        # Table mode derives the same bound from the SCALAR worst-delay
+        # observed on the host-state merge (never collects host rows).
+        if table_mode:
+            min_budget = cfg.host_budget(max(state.max_delay_seen, cfg.base_delay))
+        else:
+            min_budget = min([b for _h, b in budgets], default=cfg.base_budget)
         cap_can_bind = min(min_budget, cfg.base_budget) < global_budget
         cands = pending
         # O5 fairness aging: starved entries jump the queue with
@@ -570,7 +681,25 @@ class CrawlEngine:
             cands = cands.withColumn("_fair", fair)
             order = [F.asc("_fair")] + order
         if cap_can_bind:
-            if budgets:
+            if table_mode:
+                # budget = max(1, int(base_budget·base_delay / delay))
+                # — the exact Column form of cfg.host_budget (double
+                # division + floor ≡ CPython int() for positive args).
+                # The dim is per-host-small; left join keyed on host
+                # (Catalyst/AQE broadcasts it while it fits, falls back
+                # to a shuffle join at 10^8 hosts).
+                bdf = self._host_df.select(
+                    "host",
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(
+                            F.lit(float(cfg.base_budget * cfg.base_delay))
+                            / F.col("delay")
+                        ).cast("int"),
+                    ).alias("budget"),
+                )
+                cands = cands.join(bdf, "host", "left")
+            elif budgets:
                 bdf = spark.createDataFrame(budgets, "host string, budget int")
                 cands = cands.join(F.broadcast(bdf), "host", "left")
             else:
@@ -637,6 +766,11 @@ class CrawlEngine:
 
         read_cache = self.page_cache is not None and should_read(self.cache_mode)
         write_cache = self.page_cache is not None and should_write(self.cache_mode)
+        if self._robots_dim is not None:
+            # J4 table mode: the page's robots rules arrive as a joined
+            # column (host-keyed dim join — Catalyst broadcasts while
+            # small, shuffles at 10^8 hosts); no driver collect.
+            batch = batch.join(self._robots_dim, "host", "left")
         batch_cols = list(batch.columns)
         fetch_in = cache_lookup(batch, self.page_cache) if read_cache else batch
         hit = F.col("cache_hit") if read_cache else F.lit(False)
@@ -704,12 +838,16 @@ class CrawlEngine:
                 fetched.select("url", "final_url", "eff_status", "eff_html"),
                 iteration,
             ).localCheckpoint(eager=True)
+        rules_col = (
+            F.col("rules") if self._robots_dim is not None
+            else F.lit(None).cast("string")
+        )
         step = fetched.select(
-            *[F.col(c) for c in batch.columns],
+            *[F.col(c) for c in batch.columns if c != "rules"],
             "eff_status", "final_url",
             self._step_udf(
                 F.col("url"), F.col("host"), F.col("final_url"),
-                F.col("eff_html"), F.col("eff_status"),
+                F.col("eff_html"), F.col("eff_status"), rules_col,
             ).alias("ex"),
         )
         backoff = F.col("eff_status").isin(list(BACKOFF_CODES))
@@ -724,9 +862,11 @@ class CrawlEngine:
         if self.capture_plans:
             self.last_plans["step"] = step._jdf.queryExecution().executedPlan().toString()
         obs = None
-        if not cfg.track_host_state:
-            # throughput mode: superstep counters ride the checkpoint
-            # job as observe() metrics — no separate aggregation job
+        if not cfg.track_host_state or table_mode:
+            # throughput mode AND table mode: superstep counters ride
+            # the checkpoint job as observe() metrics — no separate
+            # per-host aggregation COLLECT (table mode still aggregates
+            # per host below, but distributed, merged into the dim)
             from pyspark.sql import Observation
 
             obs = Observation(f"step_{iteration}")
@@ -767,6 +907,67 @@ class CrawlEngine:
                     state.host_state[r["host"]] = (min(cfg.max_delay, delay * cfg.backoff_factor), fails + 1)
                 elif r["ok"] > 0:
                     state.host_state[r["host"]] = (max(cfg.base_delay, delay * cfg.decay_factor), 0)
+        if table_mode:
+            # J5 MERGE: the same per-host outcome agg, kept distributed
+            # and full-outer-merged into the (host, delay, fails) dim —
+            # the Column rules below are the exact dict-path update
+            # (backoff ×factor capped at max_delay on any 429/503;
+            # decay ×factor floored at base_delay on success; untouched
+            # hosts keep state; a host enters the dim only once it has
+            # an ok or bad outcome, mirroring the dict/simulator).  The
+            # worst delay rides the checkpoint as an observe() scalar
+            # for the admission fast path — NO host rows ever reach the
+            # driver inside the loop.
+            from pyspark.sql import Observation
+
+            delta = step.groupBy("host").agg(
+                F.sum(F.when(F.col("outcome") == "success", 1).otherwise(0)).alias("d_ok"),
+                F.sum(
+                    F.when(F.col("outcome").isin("retry", "gave_up"), 1).otherwise(0)
+                ).alias("d_bad"),
+            )
+            merged = (
+                self._host_df.join(delta, "host", "full_outer")
+                .withColumn("d_ok", F.coalesce("d_ok", F.lit(0)))
+                .withColumn("d_bad", F.coalesce("d_bad", F.lit(0)))
+                .withColumn("_delay", F.coalesce("delay", F.lit(float(cfg.base_delay))))
+                .withColumn("_fails", F.coalesce("fails", F.lit(0)))
+                .filter(
+                    F.col("delay").isNotNull()
+                    | (F.col("d_bad") > 0) | (F.col("d_ok") > 0)
+                )
+                .select(
+                    "host",
+                    F.when(
+                        F.col("d_bad") > 0,
+                        F.least(
+                            F.lit(float(cfg.max_delay)),
+                            F.col("_delay") * F.lit(float(cfg.backoff_factor)),
+                        ),
+                    )
+                    .when(
+                        F.col("d_ok") > 0,
+                        F.greatest(
+                            F.lit(float(cfg.base_delay)),
+                            F.col("_delay") * F.lit(float(cfg.decay_factor)),
+                        ),
+                    )
+                    .otherwise(F.col("_delay"))
+                    .alias("delay"),
+                    F.when(F.col("d_bad") > 0, F.col("_fails") + 1)
+                    .when(F.col("d_ok") > 0, F.lit(0))
+                    .otherwise(F.col("_fails"))
+                    .alias("fails"),
+                )
+            )
+            obs_host = Observation(f"host_{iteration}")
+            merged = merged.observe(obs_host, F.max("delay").alias("max_delay"))
+            self._host_df = merged.coalesce(
+                min(n_parts, 8)
+            ).localCheckpoint(eager=True)
+            state.max_delay_seen = float(
+                obs_host.get["max_delay"] or cfg.base_delay
+            )
         _mark("host_agg")
 
         new_docs = step.filter(F.col("outcome") == "success").select(
@@ -813,6 +1014,17 @@ class CrawlEngine:
                 )
                 .filter(valid_crawl_url(F.col("abs_url")))
             )
+            if self._robots_dim is not None:
+                # J4 table mode, link side: dim join on the LINK's host
+                # + vectorized can_fetch — replaces the closure-map
+                # gate inside the step UDF.  Runs BEFORE within-batch
+                # dedup so a blocked duplicate can never shadow an
+                # allowed one (checks are order-independent otherwise).
+                links = (
+                    links.join(self._robots_dim, "host", "left")
+                    .filter(self._link_robots_udf(F.col("rules"), F.col("canon")))
+                    .drop("rules")
+                )
             if cfg.filters:
                 links = links.filter(compile_filters_column(cfg.filters, F.col("abs_url")))
             links = links.withColumn(
@@ -847,7 +1059,20 @@ class CrawlEngine:
             # the frontier in this same plan — no driver collect)
             # routes definitely-new rows around the join.
             seen_hashes = frontier.select(F.col("url_hash").alias("ch"))
-            if state.frontier_ub <= _BCAST_SEEN_MAX:
+            if self.bucketed_frontier:
+                # §4.2.3: the frontier checkpoint is HashPartitioning
+                # (url_hash, n_parts) — localCheckpoint's LogicalRDD
+                # advertises it, the url_hash→ch Project preserves it
+                # through the alias, and the probe side comes out of
+                # groupBy(ch) with the same partitioning, so Ensure-
+                # Requirements inserts NO exchange on either side
+                # (asserted by test_bucketed_frontier_no_seen_exchange).
+                # This is the storage-partitioned-join analogue of
+                # Iceberg bucket(url_hash) tables: the seen side's
+                # partitioning survives ACROSS supersteps instead of
+                # being re-derived each superstep.
+                pass
+            elif state.frontier_ub <= _BCAST_SEEN_MAX:
                 # small-N shortcut: ≤4M hashes broadcast (~32 MB) →
                 # BroadcastHashJoin LeftAnti, zero exchanges; beyond
                 # that the hash-partitioned shuffle anti-join takes over
@@ -864,6 +1089,10 @@ class CrawlEngine:
                 )
             else:
                 fresh = deduped.join(seen_hashes, "ch", "left_anti")
+            if self.capture_plans:
+                self.last_plans["seen_join"] = (
+                    fresh._jdf.queryExecution().executedPlan().toString()
+                )
 
             # capacity trim (O4) is RETROACTIVE: every fresh row is
             # enqueued pending, an observe() on this same checkpoint
@@ -921,7 +1150,12 @@ class CrawlEngine:
         # coalesce: unions sum their parents' partition counts, so
         # without this the state table gains ~2·n_parts partitions per
         # superstep and task-launch overhead grows linearly with
-        # iteration count (narrow op — no shuffle)
+        # iteration count (narrow op — no shuffle).  Bucketed mode
+        # instead repartitions by url_hash: the checkpoint then
+        # ADVERTISES HashPartitioning(url_hash) to the next superstep's
+        # seen anti-join (one skinny-row shuffle here buys an exchange-
+        # free join there; on Iceberg this is a bucket(url_hash) table
+        # write and costs nothing extra).
         from pyspark.sql import Observation
 
         obs_frontier = Observation(f"frontier_{iteration}")
@@ -929,12 +1163,18 @@ class CrawlEngine:
             obs_frontier,
             F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pending"),
         )
-        frontier_next = frontier_next.coalesce(n_parts)
+        if self.bucketed_frontier:
+            frontier_next = frontier_next.repartition(n_parts, "url_hash")
+        else:
+            frontier_next = frontier_next.coalesce(n_parts)
         if self.capture_plans:
             self.last_plans["frontier"] = (
                 frontier_next._jdf.queryExecution().executedPlan().toString()
             )
-        frontier_next = frontier_next.localCheckpoint(eager=True)
+        if self.bucketed_frontier:
+            frontier_next = self._ckpt_bucketed(frontier_next)
+        else:
+            frontier_next = frontier_next.localCheckpoint(eager=True)
         state.pending_count = int(obs_frontier.get["n_pending"] or 0)
 
         # retroactive capacity trim (O4): the observe above gives the
@@ -971,12 +1211,13 @@ class CrawlEngine:
                     F.lit("trimmed")
                 ),
             ).drop("trim_rank")
-            retrimmed = (
-                frontier_next.filter(~is_fresh)
-                .unionByName(fresh_rows)
-                .coalesce(n_parts)
-                .localCheckpoint(eager=True)
-            )
+            retrimmed = frontier_next.filter(~is_fresh).unionByName(fresh_rows)
+            if self.bucketed_frontier:
+                retrimmed = self._ckpt_bucketed(
+                    retrimmed.repartition(n_parts, "url_hash")
+                )
+            else:
+                retrimmed = retrimmed.coalesce(n_parts).localCheckpoint(eager=True)
             frontier_next.unpersist()
             frontier_next = retrimmed
             # the trim re-marked exactly (n_fresh - capacity) pending

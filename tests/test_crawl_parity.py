@@ -287,3 +287,88 @@ def test_max_pages_budget(spark):
     sim, eng = _run_both(spark, cfg)
     _assert_parity(sim, eng)
     assert eng.state.pages_crawled <= 17
+
+
+def test_host_state_table_parity(spark):
+    """J5 scale path: politeness state as a distributed (host, delay,
+    fails) dim MERGE'd per superstep must reproduce the dict path's
+    crawl EXACTLY — order, seen set, spans, and the full host-state
+    trajectory (_assert_parity #4 compares the end-of-run materialized
+    dim against the simulator's dict)."""
+    cfg = CrawlConfig(
+        mode="best_first", max_depth=4, max_pages=50, scorer=SCORER,
+        score_threshold=0.05, base_budget=3, global_budget=10, max_iterations=40,
+    )
+    pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+    sim = simulate_crawl(pages, robots, seeds, cfg)
+    eng_obj = CrawlEngine(spark, cfg, pages_df, robots_df, host_state_as_table=True)
+    eng = eng_obj.run(seeds)
+    _assert_parity(sim, eng)
+    assert eng.host_state_df is not None
+    # the dim itself matches the simulator row-for-row
+    dim = {r["host"]: (round(r["delay"], 9), r["fails"])
+           for r in eng.host_state_df.collect()}
+    exp = {h: (round(d, 9), f) for h, (d, f) in sim.host_state.items()}
+    assert dim == exp
+
+
+def test_robots_table_parity(spark):
+    """J4 scale path: robots rules delivered by dim JOIN (fetch gate:
+    joined rules column into the step UDF; link gate: dim join +
+    vectorized can_fetch) must equal the closure-map path — and the
+    engine must never collect robots rows."""
+    cfg = CrawlConfig(mode="bfs", max_depth=3, max_pages=80,
+                      base_budget=4, global_budget=24, max_iterations=40)
+    pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+    sim = simulate_crawl(pages, robots, seeds, cfg)
+    eng_obj = CrawlEngine(spark, cfg, pages_df, robots_df, robots_as_table=True)
+    eng = eng_obj.run(seeds)
+    _assert_parity(sim, eng)
+    blocked_host = WEB.host_name(WEB.n_hosts - 1)
+    fetched = [r["url"] for r in eng.crawl_log.filter(F.col("outcome") == "success").collect()]
+    assert not any(f"//{WEB.host_name(0)}/private/" in u for u in fetched)
+    assert not any(blocked_host in u for u in fetched)
+
+
+def test_both_tables_parity(spark):
+    """The full at-scale configuration — robots dim join + host-state
+    dim + bucketed frontier together — still matches the simulator."""
+    cfg = CrawlConfig(
+        mode="best_first", max_depth=4, max_pages=50, scorer=SCORER,
+        score_threshold=0.05, base_budget=3, global_budget=10, max_iterations=40,
+    )
+    pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+    sim = simulate_crawl(pages, robots, seeds, cfg)
+    eng = CrawlEngine(
+        spark, cfg, pages_df, robots_df,
+        robots_as_table=True, host_state_as_table=True, bucketed_frontier=True,
+    ).run(seeds)
+    _assert_parity(sim, eng)
+
+
+def test_bucketed_frontier_no_seen_exchange(spark):
+    """§4.2.3 plan assertion: with bucketed_frontier=True the frontier
+    checkpoint advertises HashPartitioning(url_hash), so the seen
+    anti-join consumes it with NO exchange on the seen side — the only
+    hash exchange in the fresh-candidate plan is the probe-side link
+    dedup.  (Auto-broadcast is disabled to expose the at-scale shape;
+    the small-N broadcast shortcut is bypassed by the flag.)"""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cfg = CrawlConfig(mode="bfs", max_depth=2, max_pages=30,
+                          base_budget=8, global_budget=16, max_iterations=3)
+        pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+        eng_obj = CrawlEngine(
+            spark, cfg, pages_df, robots_df,
+            bucketed_frontier=True, capture_plans=True,
+        )
+        eng_obj.run(seeds)
+        plan = eng_obj.last_plans.get("seen_join", "")
+        assert "LeftAnti" in plan
+        # exactly ONE hash exchange: the probe-side groupBy; the seen
+        # (frontier) side feeds the join partition-aligned from its
+        # checkpoint
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
