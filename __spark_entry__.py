@@ -617,6 +617,38 @@ def q_term_stats(spark, sf_dir):
     return term_stats(docs).orderBy(F.desc("tf"), F.asc("term")).limit(30)
 
 
+def q_adaptive_rank(spark, sf_dir):
+    """R11 — adaptive frontier rank (relevance + novelty + authority,
+    reference adaptive_crawler.py:391-503): KB = every 4th document's
+    term set; the rest are 'links' whose preview text is ranked by
+    expected information gain, with the URL-structure authority
+    heuristic exercised across its branches."""
+    from crawl4ai_spark.operators.adaptive import adaptive_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    kb = docs.filter(F.col("doc_id") % 4 == 0)
+    d = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/docs/guide/item-"), d))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/api/item-"), d))
+        .otherwise(F.concat(F.lit("/blog/item-"), d, F.lit(".png")))
+    )
+    links = docs.filter(F.col("doc_id") % 4 != 0).withColumn(
+        "url", F.concat(F.lit("https://"), F.col("source"), F.lit(".example.test"), path)
+    )
+    ranked = adaptive_rank(
+        links, kb, "spark shuffle join window frontier",
+        authority="url", url_col="url",
+    )
+    return ranked.select(
+        "doc_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("novelty", 6).alias("novelty"),
+        F.round("authority", 6).alias("authority"),
+        F.round("adaptive_score", 6).alias("adaptive_score"),
+    ).orderBy("doc_id")
+
+
 def q_sitemap_seed(spark, sf_dir):
     """Sitemap seeding pipeline (S3): synthesized per-source sitemap
     XML → index expansion → nonsense filter → per-source URL counts."""
@@ -1084,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_extract": q_table_extract,
         "bm25_rank": q_bm25_rank,
         "term_stats": q_term_stats,
+        "adaptive_rank": q_adaptive_rank,
         "sitemap_seed": q_sitemap_seed,
         "head_parse": q_head_parse,
         "fit_markdown": q_fit_markdown,
@@ -1536,6 +1569,46 @@ def oracle_sql() -> dict[str, str]:
                      unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS term
               FROM documents
             ) GROUP BY term ORDER BY tf DESC, term ASC LIMIT 30
+        """,
+        "adaptive_rank": """
+            WITH tok AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> length(x) > 2)) AS pt
+              FROM documents
+            ),
+            kbt AS (
+              SELECT DISTINCT unnest(pt) AS term FROM tok WHERE doc_id % 4 = 0
+            ),
+            links AS (SELECT * FROM tok WHERE doc_id % 4 != 0),
+            novel AS (
+              SELECT l.doc_id, count(*) AS n_new
+              FROM (SELECT doc_id, unnest(pt) AS term FROM links) l
+              ANTI JOIN kbt USING (term)
+              GROUP BY l.doc_id
+            )
+            SELECT links.doc_id,
+                   round(len(list_intersect(pt,
+                     ['frontier','join','shuffle','spark','window']))/5.0, 6)
+                     AS relevance,
+                   round(CASE WHEN len(pt) = 0 THEN 0.5
+                         ELSE coalesce(n_new, 0)::DOUBLE / len(pt) END, 6)
+                     AS novelty,
+                   round(CASE links.doc_id % 3
+                         WHEN 0 THEN 0.8    -- /docs/ +0.2, /guide/ +0.1
+                         WHEN 1 THEN 0.7    -- /api/ +0.2
+                         ELSE 0.2 END, 6)   -- .png image −0.3
+                     AS authority,
+                   round(0.5 * (len(list_intersect(pt,
+                           ['frontier','join','shuffle','spark','window']))/5.0)
+                       + 0.3 * (CASE WHEN len(pt) = 0 THEN 0.5
+                                ELSE coalesce(n_new, 0)::DOUBLE / len(pt) END)
+                       + 0.2 * (CASE links.doc_id % 3 WHEN 0 THEN 0.8
+                                WHEN 1 THEN 0.7 ELSE 0.2 END), 6)
+                     AS adaptive_score
+            FROM links LEFT JOIN novel ON links.doc_id = novel.doc_id
+            ORDER BY links.doc_id
         """,
         "sitemap_seed": """
             SELECT source || '.example.test' AS host, count(*) AS n_urls

@@ -75,9 +75,21 @@ EXTRACT_RESULT = StructType(
 )
 
 
-def extract_one(url: str, html: str) -> dict:
+def extract_one(url: str, html: str, markdown_dialect: str = "house") -> dict:
     """Pure-Python single-page extraction → plain dict matching
-    EXTRACT_RESULT.  Shared with the parity simulator."""
+    EXTRACT_RESULT.  Shared with the parity simulator.
+
+    markdown_dialect (E4):
+    - "house" (default): the span walker's dialect — the parity-pinned
+      surface the interleaved-span pipeline is defined on.
+    - "html2text": the markdown fields follow the reference's
+      html2text conventions (extraction.html2md — the reference runs
+      its vendored html2text fork with body_width=0,
+      single_line_break=True, mark_code=True,
+      markdown_generation_strategy.py:180-214).  Spans/links/media are
+      IDENTICAL in both dialects; only raw_markdown and its citation
+      derivatives change.
+    """
     if html is None:
         return {
             "success": False, "metadata": {}, "links": [], "media": [],
@@ -85,7 +97,12 @@ def extract_one(url: str, html: str) -> dict:
             "references_markdown": "",
         }
     page = extract_page(url, html)
-    raw_md = page.raw_markdown
+    if markdown_dialect == "html2text":
+        from crawl4ai_spark.extraction.html2md import html_to_markdown
+
+        raw_md = html_to_markdown(html)
+    else:
+        raw_md = page.raw_markdown
     cited, refs = convert_links_to_citations(raw_md, url)
     return {
         "success": True,
@@ -109,7 +126,16 @@ def extract_one(url: str, html: str) -> dict:
     }
 
 
-@pandas_udf(EXTRACT_RESULT)
-def extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
-    rows = [extract_one(u, h) for u, h in zip(url, html)]
-    return pd.DataFrame(rows)
+def make_extract_udf(markdown_dialect: str = "house"):
+    """Extraction UDF factory — dialect baked into the closure so the
+    hot loop stays a single fused Arrow hop."""
+
+    @pandas_udf(EXTRACT_RESULT)
+    def _extract_udf(url: pd.Series, html: pd.Series) -> pd.DataFrame:
+        rows = [extract_one(u, h, markdown_dialect) for u, h in zip(url, html)]
+        return pd.DataFrame(rows)
+
+    return _extract_udf
+
+
+extract_udf = make_extract_udf()

@@ -18,6 +18,7 @@ count like the reference samples pairs at scale.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -114,3 +115,101 @@ def new_terms_per_iteration(docs: DataFrame, text_col: str = "text",
     by_iter = {r["first_iter"]: r["n_new"] for r in first}
     lo, hi = min(by_iter), max(by_iter)
     return [by_iter.get(i, 0) for i in range(lo, hi + 1)]
+
+
+def _preview_terms(text_col) -> "F.Column":
+    """Reference link-preview tokenizer (adaptive_crawler.py:516-525):
+    lowercase, split on non-alphanumerics, DROP tokens of length ≤ 2,
+    set semantics (distinct)."""
+    toks = tokenize(text_col)
+    return F.array_distinct(F.filter(toks, lambda w: F.length(w) > 2))
+
+
+def adaptive_rank(
+    links: DataFrame,
+    kb: DataFrame,
+    query: str,
+    relevance_weight: float = 0.5,
+    novelty_weight: float = 0.3,
+    authority_weight: float = 0.2,
+    authority: str = "constant",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    kb_text_col: str = "text",
+) -> DataFrame:
+    """R11 — expected-information-gain link ranking, the reference's
+    `rank_links` (adaptive_crawler.py:391-503) as one distributed plan:
+
+      relevance = |query_terms ∩ preview_terms| / |query_terms|
+                  (term-overlap path; the contextual-BM25 fast path is
+                  functions.bm25 and composes upstream)
+      novelty   = |preview_terms − KB_terms| / |preview_terms|
+                  (0.5 when the preview has no terms; an empty KB
+                  makes every term new → 1.0, matching the reference)
+      authority = 1.0 ("constant", the reference's live behavior —
+                  _calculate_authority is dead code there) or the
+                  documented URL-structure heuristic ("url":
+                  +0.2 docs/documentation, +0.2 api/reference,
+                  +0.1 guide/tutorial, +0.1 .pdf, −0.3 images,
+                  capped at 1.0, over `url_col`)
+      adaptive_score = w_r·relevance + w_n·novelty + w_a·authority
+
+    Scale shape: relevance is a pure Column (query terms are a
+    literal); novelty is ONE term-keyed anti-join against the distinct
+    KB dictionary (never collected — at 10^10 links and a 10^8-term
+    dictionary both sides shuffle on `term`, no driver state).
+    """
+    qt = sorted(
+        {t for t in re.split(r"[^a-z0-9]+", query.lower()) if len(t) > 2}
+    )
+    pt = _preview_terms(text_col)
+    out = links.withColumn("_pt", pt)
+    if qt:
+        rel = (
+            F.size(F.array_intersect(F.col("_pt"), F.array(*[F.lit(t) for t in qt])))
+            / F.lit(float(len(qt)))
+        )
+    else:
+        rel = F.lit(0.0)
+    # novelty: explode distinct preview terms, anti-join the KB term
+    # dictionary, count survivors per link
+    lt = out.select(F.col(id_col), F.explode("_pt").alias("term"))
+    kb_terms = kb.select(
+        F.explode(_preview_terms(kb_text_col)).alias("term")
+    ).distinct()
+    n_new = (
+        lt.join(kb_terms, "term", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_new"))
+    )
+    out = out.join(n_new, id_col, "left")
+    novelty = F.when(F.size("_pt") == 0, F.lit(0.5)).otherwise(
+        F.coalesce(F.col("_n_new"), F.lit(0)).cast("double") / F.size("_pt")
+    )
+    if authority == "url":
+        u = F.lower(F.col(url_col or id_col))
+        auth = (
+            F.lit(0.5)
+            + F.when(u.contains("/docs/") | u.contains("/documentation/"), 0.2).otherwise(0.0)
+            + F.when(u.contains("/api/") | u.contains("/reference/"), 0.2).otherwise(0.0)
+            + F.when(u.contains("/guide/") | u.contains("/tutorial/"), 0.1).otherwise(0.0)
+            + F.when(u.endswith(".pdf"), 0.1)
+            .when(u.endswith(".jpg") | u.endswith(".png") | u.endswith(".gif"), -0.3)
+            .otherwise(0.0)
+        )
+        auth = F.least(auth, F.lit(1.0))
+    else:
+        auth = F.lit(1.0)
+    return (
+        out.withColumn("relevance", rel.cast("double"))
+        .withColumn("novelty", novelty.cast("double"))
+        .withColumn("authority", auth.cast("double"))
+        .withColumn(
+            "adaptive_score",
+            F.lit(relevance_weight) * F.col("relevance")
+            + F.lit(novelty_weight) * F.col("novelty")
+            + F.lit(authority_weight) * F.col("authority"),
+        )
+        .drop("_pt", "_n_new")
+    )

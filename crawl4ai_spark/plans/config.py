@@ -51,6 +51,11 @@ class CrawlConfig:
     # with priority -wait (lower = higher priority); otherwise its
     # priority is retry_count.  None disables aging.
     fairness_timeout_iters: int | None = None
+    # E4 markdown dialect of the docs table's markdown columns:
+    # "house" (span-walker dialect, parity-pinned) or "html2text"
+    # (the reference's html2text output conventions via
+    # extraction.html2md).  Spans are identical either way.
+    markdown_dialect: str = "house"
     # False = throughput mode: per-host backoff state is not
     # maintained (legitimate ONLY when budgets provably never bind —
     # host_budget shrinks at most ×(max_delay/base_delay), so

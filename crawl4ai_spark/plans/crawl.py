@@ -137,7 +137,8 @@ def spans_struct(ex) -> "F.Column":
 
 
 def make_step_udf(robots_map: dict[str, str] | None, user_agent: str,
-                  rules_from_col: bool = False):
+                  rules_from_col: bool = False,
+                  markdown_dialect: str = "house"):
     """ONE fused Arrow UDF for all per-page Python work: the fetch
     robots gate, scrape→markdown→spans extraction, and per-link
     resolution/canonicalization/robots prep.
@@ -221,7 +222,7 @@ def make_step_udf(robots_map: dict[str, str] | None, user_agent: str,
             if not ok or st != 200 or not isinstance(htm, str):
                 emit(False, {}, [], [], [], [], "", "", "", ok, [], [], [], [])
                 continue
-            ex = extract_one(u, htm)
+            ex = extract_one(u, htm, markdown_dialect)
             kinds, texts, refs, offsets = [], [], [], []
             for s in ex["spans"]:
                 kinds.append(s["kind"])
@@ -325,6 +326,7 @@ class CrawlEngine:
         robots_as_table: bool = False,
         host_state_as_table: bool = False,
         bucketed_frontier: bool = False,
+        link_score_fn=None,
     ) -> None:
         self.spark = spark
         self.cfg = cfg
@@ -411,7 +413,9 @@ class CrawlEngine:
                     for r in robots.select("host", "rules").collect()
                 }
         self._step_udf = make_step_udf(
-            robots_map, cfg.user_agent, rules_from_col=self._robots_dim is not None
+            robots_map, cfg.user_agent,
+            rules_from_col=self._robots_dim is not None,
+            markdown_dialect=cfg.markdown_dialect,
         )
         # J5 politeness state: table mode keeps (host, delay, fails) as
         # a distributed dim MERGE'd per superstep from the same outcome
@@ -425,6 +429,7 @@ class CrawlEngine:
         # with NO exchange on the seen side (the in-sandbox analogue of
         # Iceberg bucket storage + storage-partitioned joins).
         self.bucketed_frontier = bool(bucketed_frontier)
+        self.link_score_fn = link_score_fn
         if cfg.mode == "best_first":
             # reference min-heap: lower score first, FIFO tiebreak
             self._order = [F.asc("score"), F.asc("depth"), F.asc("seq")]
@@ -1030,6 +1035,14 @@ class CrawlEngine:
             links = links.withColumn(
                 "score", compile_scorer_column(cfg.scorer, F.col("canon")).cast("double")
             )
+            if self.link_score_fn is not None:
+                # R11 seam: a DataFrame→DataFrame hook over the scored
+                # candidate links (columns incl. canon/host/depth/score)
+                # — operators.adaptive.adaptive_rank plugs in here to
+                # re-rank the frontier by expected information gain
+                # (relevance+novelty+authority over the TF state).
+                # Must preserve the link columns; may rewrite `score`.
+                links = self.link_score_fn(links, iteration)
             if cfg.score_threshold > float("-inf"):
                 links = links.filter(F.col("score") >= cfg.score_threshold)
             links = links.withColumn("ch", F.xxhash64("canon"))
