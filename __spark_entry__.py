@@ -372,6 +372,24 @@ def q_knn_cosine(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe hyperplane LSH top-k (VERDICT r2 #7): each query
+    probes its own bucket plus every hamming-distance-1 bucket, then
+    exact-cosine re-ranks within the probed candidates.  md5 plane
+    derivation so the oracle re-derives identical buckets."""
+    from crawl4ai_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    out = lsh_topk(corpus, queries, k=5, n_planes=6, n_probes=7, plane_fn="md5")
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 def q_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket histogram; planes derived from md5
     so the oracle re-derives identical buckets."""
@@ -1104,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
+        "lsh_multiprobe": q_lsh_multiprobe,
         "label_centroid_sim": q_label_centroid_sim,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1390,6 +1409,42 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
                               i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS cos_raw
               FROM c, q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cos_raw, 6) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "lsh_multiprobe": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                list_sum(list_transform(generate_series(0, 5), p ->
+                  CASE WHEN
+                    list_sum(list_transform(generate_series(1, len(embedding)), i ->
+                      embedding[i]::DOUBLE *
+                      (CASE WHEN substr(md5(p::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)))
+                    > 0
+                  THEN 1 << p ELSE 0 END))::BIGINT AS bucket
+              FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+            c AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 8),
+            probes AS (
+              SELECT q.query_id, q.qv, xor(q.bucket, m.mask) AS bucket
+              FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS mask) m
+            ),
+            scored AS (
+              SELECT p.query_id, c.vec_id,
+                     list_sum(list_transform(generate_series(1, len(c.embedding)),
+                              i -> c.embedding[i]::DOUBLE * p.qv[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+                              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(generate_series(1, len(p.qv)),
+                              i -> p.qv[i]::DOUBLE * p.qv[i]::DOUBLE)))) AS cos_raw
+              FROM c JOIN probes p ON c.bucket = p.bucket
             ), ranked AS (
               SELECT query_id, vec_id, cos_raw,
                      row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank

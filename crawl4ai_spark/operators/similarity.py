@@ -26,6 +26,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "hyperplane_bucket",
+    "probe_masks",
     "lsh_topk",
 ]
 
@@ -68,14 +69,23 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _plane_component(plane: int, dim_idx: Column) -> Column:
-    """Deterministic pseudo-random ±1 hyperplane component from
-    xxhash64(plane, dim): re-derivable anywhere, no model state."""
+def _plane_component(plane: int, dim_idx: Column, plane_fn: str = "xxhash64") -> Column:
+    """Deterministic pseudo-random ±1 hyperplane component: re-derivable
+    anywhere, no model state.  "xxhash64" is the fast default;
+    "md5" matches the DuckDB oracle's derivation (substr(md5(p_i),1,1)
+    in 0-7 → +1 else −1) so buckets agree across engines."""
+    if plane_fn == "md5":
+        h = F.substring(
+            F.md5(F.concat(F.lit(f"{plane}_"), dim_idx.cast("string"))), 1, 1
+        )
+        return F.when(
+            h.isin("0", "1", "2", "3", "4", "5", "6", "7"), F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
     h = F.xxhash64(F.lit(plane), dim_idx)
     return F.when(h.bitwiseAND(F.lit(1)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def hyperplane_bucket(vec, n_planes: int = 8) -> Column:
+def hyperplane_bucket(vec, n_planes: int = 8, plane_fn: str = "xxhash64") -> Column:
     """LSH bucket id: sign bits of `n_planes` random-hyperplane dot
     products packed into an int."""
     v = _col(vec)
@@ -85,7 +95,8 @@ def hyperplane_bucket(vec, n_planes: int = 8) -> Column:
         # 1-arg closure on purpose: Spark HOF lambdas with 2 params
         # receive (element, index), which would shadow `p`.
         return F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1), lambda i: _plane_component(p, i)
+            F.sequence(F.lit(0), F.size(v) - 1),
+            lambda i: _plane_component(p, i, plane_fn),
         )
 
     for p in range(n_planes):
@@ -97,17 +108,61 @@ def hyperplane_bucket(vec, n_planes: int = 8) -> Column:
     return bucket
 
 
+def probe_masks(n_planes: int, n_probes: int) -> list[int]:
+    """Deterministic multi-probe sequence: the query's own bucket, then
+    every hamming-distance-1 bucket (single-bit flips, low plane
+    first), then distance-2 (bit pairs, lexicographic).  Flipping the
+    lowest-margin planes first (true query-directed multi-probe, Lv et
+    al. 2007) would probe fewer buckets for the same recall; the
+    distance-ordered sequence keeps the mask set a LITERAL — the same
+    masks apply to every query, so the probe explode is a constant
+    array and the oracle can re-derive it."""
+    masks = [0]
+    masks += [1 << p for p in range(n_planes)]
+    for a in range(n_planes):
+        for b in range(a + 1, n_planes):
+            masks.append((1 << a) | (1 << b))
+    if n_probes > len(masks):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds distance-2 probe set ({len(masks)})"
+        )
+    return masks[:n_probes]
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 8,
+    n_probes: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
     query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+    plane_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: equi-join on the hyperplane bucket, exact
-    re-rank within bucket.  Recall < 1.0 by construction (a query only
-    sees its own bucket); multi-probe = union over bit-flipped buckets
-    if higher recall is needed."""
-    c = corpus.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes))
-    q = queries.withColumn("bucket", hyperplane_bucket(F.col(query_vec_col), n_planes))
+    re-rank within the probed buckets.
+
+    n_probes=1 is single-probe (recall < 1 by construction — a query
+    only sees its own bucket).  n_probes>1 is MULTI-PROBE: each query
+    additionally probes the hamming-adjacent buckets (probe_masks —
+    distance-1 flips, then distance-2), which recovers the neighbors
+    that fell just across one or two hyperplanes.  Scale shape: only
+    the QUERY side explodes ×n_probes (probe masks are literals); the
+    corpus keeps one row per vector and the join stays a bucket-keyed
+    equi-join, so cost is O(n_probes · matched-bucket volume), never
+    all-pairs.  A corpus vector can match at most one probe of a given
+    query (buckets are disjoint), so no candidate dedup is needed."""
+    c = corpus.withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), n_planes, plane_fn)
+    )
+    q = queries.withColumn(
+        "bucket", hyperplane_bucket(F.col(query_vec_col), n_planes, plane_fn)
+    )
+    if n_probes > 1:
+        masks = probe_masks(n_planes, n_probes)
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     joined = c.join(F.broadcast(q), "bucket")
     scored = joined.select(
         F.col(query_id_col),

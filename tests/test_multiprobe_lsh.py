@@ -1,0 +1,95 @@
+"""Multi-probe hyperplane LSH recall vs brute force (VERDICT r2 #7).
+
+Reference behavior: crawl4ai has no ANN operator; this is the
+training-data-pipeline extension (near-duplicate retrieval over an
+embedding column).  The recall target is measured on the LSH-honest
+workload — planted near-duplicates (cos ≈ 0.96) of real corpus
+vectors from the driver's embeddings table.  The raw synthetic
+embeddings are isotropic noise (true top-k neighbors sit at cos ≈
+0.3, where NO hash family concentrates), so recall is asserted on
+the planted nearest neighbor: single-probe misses it roughly half
+the time by construction (collision p^8 with p ≈ 0.91), while the
+37-bucket distance-≤2 probe set recovers ≥ 0.9.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.similarity import lsh_topk, probe_masks
+
+
+def test_probe_masks_shape():
+    m = probe_masks(8, 37)
+    assert m[0] == 0
+    assert m[1:9] == [1 << p for p in range(8)]
+    # distance-2 tail: 28 two-bit masks, lexicographic
+    assert len(m) == 37 and len(set(m)) == 37
+    assert all(bin(x).count("1") == 2 for x in m[9:])
+    with pytest.raises(ValueError):
+        probe_masks(4, 12)  # 1 + 4 + 6 = 11 max
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    """Corpus = embeddings table; queries = perturbed copies of every
+    corpus vector (deterministic seed), planted at cos ≈ 0.96."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    rng = np.random.default_rng(7)
+    noise = rng.standard_normal(V.shape)
+    noise *= np.linalg.norm(V, axis=1, keepdims=True) / np.linalg.norm(
+        noise, axis=1, keepdims=True
+    )
+    Q = V + 0.28 * noise  # cos(v, v') ≈ 1/sqrt(1 + 0.28²) ≈ 0.963
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(ids, V)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(i, q.tolist()) for i, q in zip(ids, Q)],
+        "query_id long, query_vec array<double>",
+    )
+    return corpus, queries, ids
+
+
+def _recall_at_1(df, ids) -> float:
+    """Fraction of queries whose LSH rank-1 hit is the planted source
+    vector (query_id == vec_id by construction)."""
+    hits = df.filter((F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id")))
+    return hits.count() / len(ids)
+
+
+def test_multiprobe_recall_beats_single_probe(spark, planted):
+    corpus, queries, ids = planted
+    single = lsh_topk(corpus, queries, k=3, n_planes=8, n_probes=1)
+    multi = lsh_topk(corpus, queries, k=3, n_planes=8, n_probes=37)
+    r1 = _recall_at_1(single, ids)
+    r37 = _recall_at_1(multi, ids)
+    # theory: p ≈ 0.91/plane → single ≈ p^8 ≈ 0.47, multi(≤2 flips) ≈ 0.97
+    assert r1 < 0.8, f"single-probe recall {r1} unexpectedly high"
+    assert r37 >= 0.9, f"multi-probe recall {r37} below target"
+    assert r37 > r1
+
+
+def test_multiprobe_is_superset_of_single_probe(spark, planted):
+    """Every single-probe candidate pair survives in the multi-probe
+    candidate set (mask 0 is always probed first).  k > |corpus| so
+    the top-k cut can't hide candidates."""
+    corpus, queries, ids = planted
+    big_k = len(ids) + 1
+    single = lsh_topk(corpus, queries, k=big_k, n_planes=8, n_probes=1).select(
+        "query_id", "vec_id"
+    )
+    multi = lsh_topk(corpus, queries, k=big_k, n_planes=8, n_probes=37).select(
+        "query_id", "vec_id"
+    )
+    missing = single.join(multi, ["query_id", "vec_id"], "left_anti").count()
+    assert missing == 0
