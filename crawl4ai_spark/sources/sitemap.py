@@ -87,6 +87,61 @@ def expand_sitemaps(
     return out.dropDuplicates(["url"])
 
 
+def paced_probe_schedule(
+    urls: DataFrame,
+    *,
+    hits_per_sec: int,
+    window_sec: float = 1.0,
+    order=None,
+    queue_size: int | None = None,
+    concurrency: int = 20,
+) -> DataFrame:
+    """P4 seeder pacing — the batch re-expression of the reference's
+    global QPS control + bounded producer queue
+    (/root/reference/crawl4ai/async_url_seeder.py:314-320 rate
+    semaphore of `hits_per_sec` permits, :339-346 bounded queue of
+    min(10000, max(1000, concurrency*100)) for backpressure).
+
+    A semaphore is driver-side state; the Spark-native equivalent is a
+    deterministic probe SCHEDULE derived in-plan: every candidate gets
+    an exact global rank in producer order (with_global_rank — one
+    shuffle, no partition-less window, no driver queue), and
+
+        probe_window = (rank - 1) div (hits_per_sec * window_sec)
+        queue_window = (rank - 1) div queue_size
+
+    The probe executor consumes one `probe_window` per wall interval —
+    the admitted set per window is exactly what the reference's
+    semaphore would admit per second, but derived without per-row
+    coordination, so it holds at 10^8 candidates.  `queue_window` is
+    the bounded-queue analogue: a consumer honoring backpressure never
+    materializes rows with queue_window > current+1 (one queue of
+    lookahead), which bounds in-flight memory exactly like the
+    asyncio.Queue(maxsize=queue_size) bound.
+
+    Adds columns: probe_window (long), queue_window (long)."""
+    from crawl4ai_spark.plans.rank import with_global_rank
+
+    if hits_per_sec <= 0:
+        # reference behavior: non-positive → rate limiting disabled
+        return urls.withColumn("probe_window", F.lit(0).cast("long")).withColumn(
+            "queue_window", F.lit(0).cast("long")
+        )
+    budget = max(1, int(hits_per_sec * window_sec))
+    if queue_size is None:
+        queue_size = min(10_000, max(1_000, concurrency * 100))
+    if order is None:
+        order = [F.col("url")]
+    ranked = with_global_rank(urls, order, rank_col="_seed_rank")
+    return (
+        ranked.withColumn(
+            "probe_window", F.expr(f"(_seed_rank - 1) div {budget}")
+        )
+        .withColumn("queue_window", F.expr(f"(_seed_rank - 1) div {queue_size}"))
+        .drop("_seed_rank")
+    )
+
+
 def seed_urls_pipeline(
     spark,
     sitemaps: DataFrame,
@@ -96,10 +151,18 @@ def seed_urls_pipeline(
     head_texts: DataFrame | None = None,   # (url, head_text) for BM25 scoring
     pattern: str | None = None,
     max_urls: int = 10_000,
+    hits_per_sec: int | None = None,
+    probe_window_sec: float = 1.0,
 ) -> DataFrame:
     """The full seeding pipeline (async_url_seeder.urls semantics):
     sitemap expansion → nonsense filter → optional glob pattern →
-    optional BM25 relevance vs `query` over head texts → rank/trim."""
+    optional BM25 relevance vs `query` over head texts → rank/trim.
+
+    hits_per_sec (P4): when set, the output additionally carries the
+    deterministic probe schedule (`probe_window`, `queue_window`
+    columns — see paced_probe_schedule); head probes for window w must
+    not run before interval w, giving the reference's QPS bound
+    without driver-side state."""
     from crawl4ai_spark.functions.bm25 import bm25_minmax, bm25_scores
     from crawl4ai_spark.functions.filters import nonsense_url_filter, url_pattern_filter
 
@@ -107,6 +170,14 @@ def seed_urls_pipeline(
     urls = urls.filter(nonsense_url_filter(F.col("url")))
     if pattern:
         urls = urls.filter(url_pattern_filter(F.col("url"), pattern))
+    pace_cols: list[str] = []
+    if hits_per_sec is not None:
+        # schedule BEFORE scoring: the probe (head fetch) is the
+        # rate-limited resource and scoring consumes its output
+        urls = paced_probe_schedule(
+            urls, hits_per_sec=hits_per_sec, window_sec=probe_window_sec
+        )
+        pace_cols = ["probe_window", "queue_window"]
     if query and head_texts is not None:
         scored = bm25_scores(
             urls.join(head_texts, "url", "left")
@@ -115,8 +186,10 @@ def seed_urls_pipeline(
         )
         scored = bm25_minmax(scored)
         return (
-            scored.select("url", F.col("bm25_norm").alias("relevance_score"))
+            scored.select(
+                "url", F.col("bm25_norm").alias("relevance_score"), *pace_cols
+            )
             .orderBy(F.desc("relevance_score"), F.asc("url"))
             .limit(max_urls)
         )
-    return urls.select("url").orderBy("url").limit(max_urls)
+    return urls.select("url", *pace_cols).orderBy("url").limit(max_urls)

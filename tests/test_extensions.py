@@ -188,6 +188,57 @@ def test_seed_pipeline_bm25(spark):
     assert out[0]["relevance_score"] > out[1]["relevance_score"]
 
 
+def test_paced_probe_schedule(spark):
+    """P4 seeder pacing: per-window admission never exceeds the
+    hits_per_sec × window budget, windows follow producer order, and
+    every candidate is scheduled exactly once (async_url_seeder.py
+    rate-semaphore + bounded-queue semantics)."""
+    n = 103
+    urls = spark.createDataFrame(
+        [(f"https://h.test/p{i:04d}",) for i in range(n)], "url string"
+    )
+    out = SM.paced_probe_schedule(
+        urls, hits_per_sec=10, window_sec=1.0, queue_size=25
+    )
+    rows = sorted(out.collect(), key=lambda r: r["url"])
+    # budget pinned: every window admits <=10, all-but-last exactly 10
+    from collections import Counter
+
+    per_window = Counter(r["probe_window"] for r in rows)
+    assert max(per_window.values()) <= 10
+    assert sorted(per_window) == list(range(11))  # 103 urls / 10 per sec
+    assert all(per_window[w] == 10 for w in range(10)) and per_window[10] == 3
+    # producer order: window index is monotone in url (producer) order
+    assert [r["probe_window"] for r in rows] == sorted(
+        r["probe_window"] for r in rows
+    )
+    # bounded queue: in-flight rows within one lookahead queue never
+    # exceed 2 * queue_size
+    per_queue = Counter(r["queue_window"] for r in rows)
+    assert max(per_queue.values()) <= 25
+    # disabled pacing (reference: non-positive hits_per_sec)
+    off = SM.paced_probe_schedule(urls, hits_per_sec=0)
+    assert off.select(F.max("probe_window")).first()[0] == 0
+
+
+def test_seed_pipeline_paced(spark):
+    sitemaps = spark.createDataFrame(
+        [("https://h.test/sitemap-a.xml", SITEMAP_A),
+         ("https://h.test/sitemap-b.xml", SITEMAP_B)],
+        "url string, xml string",
+    )
+    out = SM.seed_urls_pipeline(
+        spark, sitemaps,
+        ["https://h.test/sitemap-a.xml", "https://h.test/sitemap-b.xml"],
+        hits_per_sec=1,
+    ).collect()
+    # two candidate urls, budget 1/window → windows 0 and 1 in url order
+    assert [(r["url"], r["probe_window"]) for r in sorted(out, key=lambda r: r.url)] == [
+        ("https://h.test/blog/beta-post", 0),
+        ("https://h.test/docs/alpha", 1),
+    ]
+
+
 # ── A6/A7 adaptive metrics ───────────────────────────────────────────
 
 def test_adaptive_metrics(spark):
