@@ -17,6 +17,15 @@ resume = read manifest → load those snapshots → continue the loop.
 Old snapshots are pruned lazily.  On a real cluster the same calls
 map 1:1 onto Iceberg MERGE INTO + snapshot ids; the engine only uses
 this narrow interface.
+
+Per-partition lineage (north rule: "resumable runs with
+per-partition lineage and metrics"): each committed table records its
+part files with per-file row counts / bytes / row-group counts read
+from the parquet footers (Iceberg's manifest-file role), each
+manifest records its parent snapshot id, and the full commit history
+is appended to `_lineage.jsonl` so the snapshot chain survives data
+pruning (Iceberg's metadata log role).  Footer reads are driver-side
+pyarrow metadata calls — no extra Spark job.
 """
 
 from __future__ import annotations
@@ -56,8 +65,16 @@ class SnapshotStore:
         metrics: dict[str, Any] | None = None,
         state: dict[str, Any] | None = None,
     ) -> None:
+        prev = self.read_manifest()
+        # re-committing the current snapshot id REPLACES it (the engine's
+        # final commit refreshes the last superstep's snapshot): the parent
+        # stays the replaced snapshot's parent, and the lineage entry is
+        # rewritten rather than duplicated.
+        replaces = bool(prev and prev["snapshot_id"] == snapshot_id)
+        parent = (prev.get("parent_snapshot_id") if replaces else prev["snapshot_id"]) if prev else None
         entry: dict[str, Any] = {
             "snapshot_id": snapshot_id,
+            "parent_snapshot_id": parent,
             "committed_at": time.time(),
             "tables": {},
             "metrics": metrics or {},
@@ -66,18 +83,65 @@ class SnapshotStore:
         for name, df in tables.items():
             path = self._snap_path(name, snapshot_id)
             df.write.mode("overwrite").parquet(path)
-            entry["tables"][name] = path
+            files = self._file_lineage(path)
+            entry["tables"][name] = {
+                "path": path,
+                "rows": sum(f.get("rows", 0) for f in files),
+                "files": files,
+            }
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(entry, f)
         os.replace(tmp, self._manifest_path)  # atomic commit point
+        lpath = os.path.join(self.root, "_lineage.jsonl")
+        if replaces and os.path.exists(lpath):
+            lines = [
+                line for line in open(lpath)
+                if line.strip() and json.loads(line)["snapshot_id"] != snapshot_id
+            ]
+            with open(lpath + ".tmp", "w") as f:
+                f.writelines(lines + [json.dumps(entry) + "\n"])
+            os.replace(lpath + ".tmp", lpath)
+        else:
+            with open(lpath, "a") as f:
+                f.write(json.dumps(entry) + "\n")
         self._prune(snapshot_id)
+
+    @staticmethod
+    def _file_lineage(path: str) -> list[dict[str, Any]]:
+        """Per-part-file (rows, bytes, row_groups) from parquet footers."""
+        import pyarrow.parquet as pq
+
+        files: list[dict[str, Any]] = []
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, fn)
+            rec: dict[str, Any] = {"file": fn, "bytes": os.path.getsize(fp)}
+            try:
+                md = pq.ParquetFile(fp).metadata
+                rec["rows"] = md.num_rows
+                rec["row_groups"] = md.num_row_groups
+            except Exception:
+                pass  # unreadable footer: keep the byte-level record
+            files.append(rec)
+        return files
+
+    def lineage(self) -> list[dict[str, Any]]:
+        """Full commit history (parent-chained), oldest first."""
+        try:
+            with open(os.path.join(self.root, "_lineage.jsonl")) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return []
 
     def load(self, spark: SparkSession, name: str) -> DataFrame | None:
         m = self.read_manifest()
         if not m or name not in m["tables"]:
             return None
-        return spark.read.parquet(m["tables"][name])
+        t = m["tables"][name]
+        path = t["path"] if isinstance(t, dict) else t  # pre-lineage manifests
+        return spark.read.parquet(path)
 
     def _snap_path(self, name: str, snapshot_id: int) -> str:
         return os.path.join(self.root, name, f"snap={snapshot_id:06d}")

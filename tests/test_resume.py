@@ -73,9 +73,22 @@ def test_manifest_atomicity(spark, tmp_path):
     # seen is no longer a separate table: the frontier subsumes it
     # (trimmed rows keep their row, so seen ≡ frontier.url)
     assert set(m["tables"]) == {"frontier", "docs", "crawl_log"}
-    # every referenced snapshot path exists and loads
+    # every referenced snapshot path exists, loads, and carries
+    # per-partition lineage that agrees with the actual row count
     for name in m["tables"]:
         df = store.load(spark, name)
         assert df is not None
-        df.count()
+        t = m["tables"][name]
+        assert t["files"], f"{name}: no part-file lineage recorded"
+        for f in t["files"]:
+            assert f["bytes"] > 0 and "rows" in f and "row_groups" in f
+        assert t["rows"] == df.count()
     assert "pages_crawled" in m["metrics"]
+    # lineage log chains snapshots parent -> child and survives pruning
+    lin = store.lineage()
+    ids = [e["snapshot_id"] for e in lin]
+    assert ids == sorted(set(ids)), f"duplicate/unordered snapshots: {ids}"
+    assert lin[0]["parent_snapshot_id"] is None
+    for prev, cur in zip(lin, lin[1:]):
+        assert cur["parent_snapshot_id"] == prev["snapshot_id"]
+    assert lin[-1]["snapshot_id"] == m["snapshot_id"]
