@@ -63,6 +63,17 @@ class CrawlConfig:
     # The engine then reads its superstep counters from observe()
     # metrics instead of a per-host aggregation job.
     track_host_state: bool = True
+    # Hot-host skew defense on the politeness admission window.  A
+    # single Window.partitionBy(host) puts ALL of a host's pending
+    # rows in one task — a 10^7-URL host serializes one straggler.
+    # With S>1 the per-host cap runs in two EXACT phases: rank within
+    # (host, pmod(url_hash, S)) keeping ≤ budget rows per salt group,
+    # then the true host window over the survivors (≤ S·budget rows
+    # per host).  Phase 1 never drops a winner: a row in the host's
+    # true top-budget has < budget better-ranked rows on the whole
+    # host, hence < budget in its own salt group.  None/≤1 = single
+    # window (identical admitted set, parity-pinned either way).
+    admission_salts: int | None = None
 
     def host_budget(self, current_delay: float) -> int:
         """Admissions this host gets this iteration: base_budget scaled

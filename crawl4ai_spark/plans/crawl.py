@@ -710,6 +710,27 @@ class CrawlEngine:
             else:
                 cands = cands.withColumn("budget", F.lit(None).cast("int"))
             cands = cands.withColumn("budget", F.coalesce("budget", F.lit(cfg.base_budget)))
+            if cfg.admission_salts and cfg.admission_salts > 1:
+                # Hot-host salting (north rule: "salts hot hosts to
+                # defuse skew").  Exact two-phase cap: pre-trim within
+                # (host, pmod(url_hash, S)) to ≤ budget rows — a row in
+                # the host's true top-budget has < budget better rows on
+                # the whole host, so < budget in its salt group, so the
+                # pre-trim never drops a winner — then the exact host
+                # window below sees ≤ S·budget rows per host instead of
+                # the host's whole pending set.  budget is constant per
+                # host, so using the row's own joined budget is safe.
+                s = int(cfg.admission_salts)
+                salt = F.pmod(F.coalesce(F.col("url_hash"), F.lit(0)), F.lit(s))
+                pre_rank = F.row_number().over(
+                    Window.partitionBy("host", "_salt").orderBy(*order)
+                )
+                cands = (
+                    cands.withColumn("_salt", salt)
+                    .withColumn("_pre_rank", pre_rank)
+                    .filter(F.col("_pre_rank") <= F.col("budget"))
+                    .drop("_salt", "_pre_rank")
+                )
             host_rank = F.row_number().over(Window.partitionBy("host").orderBy(*order))
             cands = (
                 cands.withColumn("host_rank", host_rank)

@@ -289,6 +289,28 @@ def test_max_pages_budget(spark):
     assert eng.state.pages_crawled <= 17
 
 
+def test_salted_admission_parity(spark):
+    """Hot-host skew defense (north rule: "salts hot hosts"): the
+    two-phase salted per-host cap — pre-trim within (host, salt) to
+    ≤ budget, then the exact host window over the survivors — must
+    admit EXACTLY the simulator's set and order.  Salting is a
+    physical rewrite of the window, never a semantic change.  Config
+    makes the cap bind hard (base_budget 2 ≪ global 24) in both BFS
+    and scored best-first order."""
+    cfg = CrawlConfig(mode="bfs", max_depth=3, max_pages=60,
+                      base_budget=2, global_budget=24, max_iterations=40,
+                      admission_salts=5)
+    sim, eng = _run_both(spark, cfg)
+    _assert_parity(sim, eng)
+    cfg2 = CrawlConfig(
+        mode="best_first", max_depth=4, max_pages=40, scorer=SCORER,
+        score_threshold=0.05, base_budget=2, global_budget=12,
+        max_iterations=40, admission_salts=3,
+    )
+    sim2, eng2 = _run_both(spark, cfg2)
+    _assert_parity(sim2, eng2)
+
+
 def test_host_state_table_parity(spark):
     """J5 scale path: politeness state as a distributed (host, delay,
     fails) dim MERGE'd per superstep must reproduce the dict path's
