@@ -273,6 +273,11 @@ class CrawlState:
     # observed as a SCALAR on the host-state merge job — drives the
     # admission fast path without ever collecting per-host rows
     max_delay_seen: float = 0.0
+    # BFS level (O2): min depth over pending rows, observed on the
+    # SAME merge job as pending_count — the level filter then needs
+    # no per-superstep min(depth) collect.  None = unknown (resumed
+    # run) → one fallback agg re-derives it.
+    min_pending_depth: int | None = None
 
 
 # small-N plan shortcuts: below these driver-tracked bounds the
@@ -505,6 +510,7 @@ class CrawlEngine:
         )
         state.frontier_ub = len(rows)
         state.pending_count = len(rows)
+        state.min_pending_depth = 0 if rows else None
         return frontier, state
 
     # ── main loop ────────────────────────────────────────────────────
@@ -644,12 +650,17 @@ class CrawlEngine:
 
         pending = frontier.filter(F.col("status") == "pending")
 
-        # BFS: whole current level is the candidate set (O2)
+        # BFS: whole current level is the candidate set (O2).  The
+        # level (min pending depth) rides the previous merge job's
+        # observe() — the fallback agg fires only on resume, where the
+        # checkpointed frontier hasn't been observed yet.
         if cfg.mode == "bfs":
-            level_row = pending.agg(F.min("depth").alias("d")).collect()
-            if not level_row or level_row[0]["d"] is None:
-                return None
-            pending = pending.filter(F.col("depth") == int(level_row[0]["d"]))
+            if state.min_pending_depth is None:
+                level_row = pending.agg(F.min("depth").alias("d")).collect()
+                if not level_row or level_row[0]["d"] is None:
+                    return None
+                state.min_pending_depth = int(level_row[0]["d"])
+            pending = pending.filter(F.col("depth") == state.min_pending_depth)
 
         # ── job 1: politeness admission window (P1): per-host budget
         #    rank (keyed window), then exact PARALLEL global top-K ────
@@ -1193,9 +1204,11 @@ class CrawlEngine:
         from pyspark.sql import Observation
 
         obs_frontier = Observation(f"frontier_{iteration}")
+        is_pending = F.col("status") == "pending"
         frontier_next = frontier_next.observe(
             obs_frontier,
-            F.sum(F.when(F.col("status") == "pending", 1).otherwise(0)).alias("n_pending"),
+            F.sum(F.when(is_pending, 1).otherwise(0)).alias("n_pending"),
+            F.min(F.when(is_pending, F.col("depth"))).alias("min_pending_depth"),
         )
         if self.bucketed_frontier:
             frontier_next = frontier_next.repartition(n_parts, "url_hash")
@@ -1209,7 +1222,12 @@ class CrawlEngine:
             frontier_next = self._ckpt_bucketed(frontier_next)
         else:
             frontier_next = frontier_next.localCheckpoint(eager=True)
-        state.pending_count = int(obs_frontier.get["n_pending"] or 0)
+        _obs_f = obs_frontier.get
+        state.pending_count = int(_obs_f["n_pending"] or 0)
+        state.min_pending_depth = (
+            int(_obs_f["min_pending_depth"])
+            if _obs_f["min_pending_depth"] is not None else None
+        )
 
         # retroactive capacity trim (O4): the observe above gives the
         # EXACT number of fresh rows; only when it truly exceeds the
