@@ -65,6 +65,7 @@ import time
 from dataclasses import dataclass, field
 
 import pandas as pd
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
@@ -491,6 +492,46 @@ class CrawlEngine:
         """
         if self.pages_eff is not None:
             self.pages_eff.count()
+        # Warm the Python UDF workers: one tiny job through the fused
+        # step UDF forks the worker pool, imports crawl4ai_spark in
+        # each worker, and sets up the Arrow transport — the executor-
+        # provisioning analogue (a cluster pays it at executor launch,
+        # not per crawl).  Without this, superstep 1 absorbs ~5-20 s
+        # of one-time worker spawn/import/JIT inside the crawl clock.
+        warm = (
+            self.spark.range(self._n_parts * 4)
+            .repartition(self._n_parts)
+            .select(
+                self._step_udf(
+                    F.lit("https://warm.invalid/x"), F.lit("warm.invalid"),
+                    F.lit("https://warm.invalid/x"),
+                    F.lit(None).cast("string"), F.lit(0),
+                    F.lit(None).cast("string"),
+                ).alias("ex")
+            )
+        )
+        warm.select(F.max(F.col("ex.success"))).collect()
+
+    # LONG-LIVED checkpoint blocks are stored SERIALIZED (python
+    # StorageLevel.MEMORY_AND_DISK = memory+disk, serialized — unlike
+    # the JVM localCheckpoint default, which keeps deserialized row
+    # objects).  The step outputs (extracted spans) of EVERY superstep
+    # stay referenced for the whole run by the lazy docs/log result
+    # tables; held deserialized that's tens of millions of live
+    # objects on the old-gen heap, and a full GC over that graph
+    # stop-the-worlds for tens of seconds (measured 30-60 s at
+    # 10^5-page supersteps — the dominant wall-clock noise at bench
+    # scale, and a per-executor hazard at cluster scale).  Serialized
+    # blocks are a few large byte arrays: full-GC cost collapses for
+    # the same retained bytes, at a ser/deser cost per read that the
+    # Kryo default in session.py keeps memcpy-grade.
+    _CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
+    # SHORT-LIVED hot state (the frontier: replaced and unpersisted
+    # every superstep, probed 2-4x per superstep by the anti-join and
+    # merge) stays DESERIALIZED — it never accumulates, so it isn't a
+    # full-GC driver, and paying deser on every probe would put the
+    # cost in the hot loop.
+    _CKPT_HOT_LEVEL = StorageLevel.MEMORY_AND_DISK_DESER
 
     def _ckpt_bucketed(self, df: DataFrame) -> DataFrame:
         """localCheckpoint that PRESERVES HashPartitioning(url_hash).
@@ -503,7 +544,7 @@ class CrawlEngine:
         prev = conf.get("spark.sql.adaptive.enabled", "true")
         conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            return df.localCheckpoint(eager=True)
+            return df.localCheckpoint(eager=True, storageLevel=self._CKPT_HOT_LEVEL)
         finally:
             conf.set("spark.sql.adaptive.enabled", prev)
 
@@ -593,8 +634,8 @@ class CrawlEngine:
             docs_parts.append(new_docs)
             log_parts.append(new_log)
             if self.store and state.iteration % self.checkpoint_every == 0:
-                docs = self._union_parts(docs, docs_parts).localCheckpoint(eager=True)
-                log = self._union_parts(log, log_parts).localCheckpoint(eager=True)
+                docs = self._union_parts(docs, docs_parts).localCheckpoint(eager=True, storageLevel=self._CKPT_LEVEL)
+                log = self._union_parts(log, log_parts).localCheckpoint(eager=True, storageLevel=self._CKPT_LEVEL)
                 docs_parts, log_parts = [], []
                 self._commit(frontier, docs, log, state)
         docs = self._union_parts(docs, docs_parts)
@@ -884,12 +925,12 @@ class CrawlEngine:
             # materialize the html-bearing fetch once (so the step
             # projection below and the cache upsert share ONE fetch —
             # a transport must never fire twice per URL), then upsert
-            fetched = fetched.localCheckpoint(eager=True)
+            fetched = fetched.localCheckpoint(eager=True, storageLevel=self._CKPT_LEVEL)
             self.page_cache = cache_merge(
                 self.page_cache,
                 fetched.select("url", "final_url", "eff_status", "eff_html"),
                 iteration,
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True, storageLevel=self._CKPT_LEVEL)
         rules_col = (
             F.col("rules") if self._robots_dim is not None
             else F.lit(None).cast("string")
@@ -928,7 +969,7 @@ class CrawlEngine:
                 F.sum(F.when(F.col("outcome") == "success", 1).otherwise(0)).alias("ok"),
                 F.sum(F.coalesce(F.size("ex.pl_pos"), F.lit(0))).alias("n_links"),
             )
-        step = step.localCheckpoint(eager=True)
+        step = step.localCheckpoint(eager=True, storageLevel=self._CKPT_LEVEL)
         _mark("fetch_extract")
 
         # ── job 3: counters + host-state deltas (A4) + link bound ────
@@ -1018,7 +1059,7 @@ class CrawlEngine:
             merged = merged.observe(obs_host, F.max("delay").alias("max_delay"))
             self._host_df = merged.coalesce(
                 min(n_parts, 8)
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=True, storageLevel=self._CKPT_HOT_LEVEL)
             state.max_delay_seen = float(
                 obs_host.get["max_delay"] or cfg.base_delay
             )
@@ -1238,7 +1279,7 @@ class CrawlEngine:
         if self.bucketed_frontier:
             frontier_next = self._ckpt_bucketed(frontier_next)
         else:
-            frontier_next = frontier_next.localCheckpoint(eager=True)
+            frontier_next = frontier_next.localCheckpoint(eager=True, storageLevel=self._CKPT_HOT_LEVEL)
         _obs_f = obs_frontier.get
         state.pending_count = int(_obs_f["n_pending"] or 0)
         state.min_pending_depth = (
@@ -1286,7 +1327,7 @@ class CrawlEngine:
                     retrimmed.repartition(n_parts, "url_hash")
                 )
             else:
-                retrimmed = retrimmed.coalesce(n_parts).localCheckpoint(eager=True)
+                retrimmed = retrimmed.coalesce(n_parts).localCheckpoint(eager=True, storageLevel=self._CKPT_HOT_LEVEL)
             frontier_next.unpersist()
             frontier_next = retrimmed
             # the trim re-marked exactly (n_fresh - capacity) pending
@@ -1302,8 +1343,8 @@ class CrawlEngine:
             "parent_url", "seq", "outcome", "batch_rank",
         )
         if self.materialize_outputs:
-            new_docs = new_docs.localCheckpoint(eager=True)
-            new_log = new_log.localCheckpoint(eager=True)
+            new_docs = new_docs.localCheckpoint(eager=True, storageLevel=self._CKPT_LEVEL)
+            new_log = new_log.localCheckpoint(eager=True, storageLevel=self._CKPT_LEVEL)
             step.unpersist()
         _mark("merge")
         if self.verbose_timing:

@@ -57,7 +57,19 @@ def get_spark(
         # join builds on the (small) batch side and must never sort
         # the html-carrying corpus partitions
         .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Kryo: the crawl loop stores its long-lived checkpoint blocks
+        # SERIALIZED (see plans/crawl.py _CKPT_LEVEL) — Java
+        # serialization of those blocks is both slower and ~2x larger
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     )
+    # SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs applied
+    # last (e.g. "spark.eventLog.enabled=true;spark.eventLog.dir=/tmp/ev"
+    # for profiling, or cluster overrides when spark-submit --conf is
+    # not an option).  Explicit extra_conf wins over the env.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
