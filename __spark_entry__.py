@@ -390,6 +390,22 @@ def q_lsh_multiprobe(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
+    self-join candidates, exact-cosine verify, threshold cut (the
+    embedding analogue of the minhash→LSH→jaccard text cascade).
+    md5 plane derivation so the oracle re-derives identical buckets.
+    Threshold 0.3 sits in a >=1e-3 gap of the sf0.01 cosine
+    distribution, so Spark/DuckDB float noise cannot flip membership."""
+    from crawl4ai_spark.operators.similarity import cosine_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_dup_pairs(emb, threshold=0.3, n_planes=6, plane_fn="md5")
+    return out.select(
+        "a", "b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("a", "b")
+
+
 def q_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket histogram; planes derived from md5
     so the oracle re-derives identical buckets."""
@@ -1123,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
         "lsh_multiprobe": q_lsh_multiprobe,
+        "dedup_embedding": q_dedup_embedding,
         "label_centroid_sim": q_label_centroid_sim,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1452,6 +1469,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(cos_raw, 6) AS cos_sim, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "dedup_embedding": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                list_sum(list_transform(generate_series(0, 5), p ->
+                  CASE WHEN
+                    list_sum(list_transform(generate_series(1, len(embedding)), i ->
+                      embedding[i]::DOUBLE *
+                      (CASE WHEN substr(md5(p::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)))
+                    > 0
+                  THEN 1 << p ELSE 0 END))::BIGINT AS bucket
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT l.vec_id AS a, r.vec_id AS b,
+                list_sum(list_transform(generate_series(1, len(l.embedding)),
+                         i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(generate_series(1, len(l.embedding)),
+                         i -> l.embedding[i]::DOUBLE * l.embedding[i]::DOUBLE)))
+                 * sqrt(list_sum(list_transform(generate_series(1, len(r.embedding)),
+                         i -> r.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)))) AS cos_raw
+              FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            )
+            SELECT a, b, round(cos_raw, 6) AS cos_sim
+            FROM pairs WHERE cos_raw >= 0.3 ORDER BY a, b
         """,
         "lsh_buckets": """
             WITH b AS (

@@ -25,6 +25,7 @@ __all__ = [
     "vec_norm",
     "cosine",
     "cosine_topk",
+    "cosine_dup_pairs",
     "hyperplane_bucket",
     "probe_masks",
     "lsh_topk",
@@ -67,6 +68,55 @@ def cosine_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_dup_pairs(
+    df: DataFrame, threshold: float = 0.9, n_planes: int = 8,
+    n_probes: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    plane_fn: str = "xxhash64",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
+    a < b and cos_sim >= threshold.
+
+    Candidate generation is a hyperplane-LSH bucket SELF-JOIN — never
+    all-pairs: both sides shuffle once on the bucket key, and only
+    same-bucket (or, with n_probes > 1, hamming-adjacent-bucket)
+    vectors meet.  Every candidate pair is then verified with the
+    EXACT cosine (native zip_with dot product), so false positives
+    from the banding never survive; recall is governed by
+    n_planes/n_probes exactly as in `lsh_topk`.
+
+    No pair can appear twice: for buckets bx, by there is exactly one
+    XOR mask m with bx ^ m == by, and masks are symmetric, so the
+    a < b cut keeps exactly one orientation of each found pair.
+
+    At 100 TB: the bucket key spreads the self-join; skew (a hot
+    bucket) is bounded by 2^n_planes granularity — raise n_planes and
+    n_probes together to shrink buckets while holding recall."""
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", hyperplane_bucket(F.col(vec_col), n_planes, plane_fn)
+    )
+    left = base.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"), "bucket"
+    )
+    if n_probes > 1:
+        masks = probe_masks(n_planes, n_probes)
+        left = left.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+    right = base.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine("_va", "_vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def _plane_component(plane: int, dim_idx: Column, plane_fn: str = "xxhash64") -> Column:

@@ -18,7 +18,9 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.operators.similarity import lsh_topk, probe_masks
+from crawl4ai_spark.operators.similarity import (
+    cosine_dup_pairs, lsh_topk, probe_masks,
+)
 
 
 def test_probe_masks_shape():
@@ -93,3 +95,49 @@ def test_multiprobe_is_superset_of_single_probe(spark, planted):
     )
     missing = single.join(multi, ["query_id", "vec_id"], "left_anti").count()
     assert missing == 0
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark, planted):
+    """One table holding every corpus vector AND its planted ≈0.96
+    near-duplicate (ids offset by 10_000): ground-truth near-dup pairs
+    are exactly (i, i + 10_000)."""
+    corpus, queries, ids = planted
+    dups = queries.select(
+        (F.col("query_id") + 10_000).alias("vec_id"),
+        F.col("query_vec").alias("embedding"),
+    )
+    return corpus.unionByName(dups), ids
+
+
+def test_cosine_dup_pairs_no_false_positives_no_dupes(spark, dup_corpus):
+    """Every emitted pair verifies >= threshold exactly (the LSH stage
+    only generates candidates), a < b holds, and no pair repeats even
+    with multi-probe."""
+    table, ids = dup_corpus
+    out = cosine_dup_pairs(
+        table, threshold=0.9, n_planes=8, n_probes=9
+    ).collect()
+    assert all(r.a < r.b for r in out)
+    assert all(r.cos_sim >= 0.9 for r in out)
+    keys = [(r.a, r.b) for r in out]
+    assert len(keys) == len(set(keys)), "multi-probe emitted duplicate pairs"
+
+
+def test_cosine_dup_pairs_recall_on_planted(spark, dup_corpus):
+    """Multi-probe recovers nearly all planted (i, i+10_000) pairs;
+    single-probe provably misses a chunk of them (p^8 collision)."""
+    table, ids = dup_corpus
+    n = len(ids)
+
+    def planted_recall(n_probes: int) -> float:
+        out = cosine_dup_pairs(
+            table, threshold=0.9, n_planes=8, n_probes=n_probes
+        )
+        hits = out.filter(F.col("b") == F.col("a") + 10_000).count()
+        return hits / n
+
+    r1, r37 = planted_recall(1), planted_recall(37)
+    assert r1 < 0.8, f"single-probe recall {r1} unexpectedly high"
+    assert r37 >= 0.9, f"multi-probe recall {r37} below target"
+    assert r37 > r1
