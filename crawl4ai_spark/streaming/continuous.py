@@ -10,14 +10,20 @@ the sink checkpoint; the extract UDF is pure, so replays are safe.
 crawl log — the streaming analogue of the reference's dispatcher
 queue statistics (async_dispatcher.py:509-521), with late-arrival
 handling the reference doesn't have.
+
+`host_politeness_stream`: per-host RateLimiter state as a custom
+STATEFUL streaming operator (applyInPandasWithState) — the always-on
+analogue of the batch engine's host-state dim merge.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.extraction.udfs import extract_udf
+from crawl4ai_spark.plans.config import BACKOFF_CODES
 
 
 def stream_extract(
@@ -72,4 +78,65 @@ def fetch_metrics_stream(events: DataFrame, *, window: str = "1 minute",
         )
         .select(F.col("w.start").alias("window_start"), "host",
                 "n_fetches", "n_ok", "n_backoff")
+    )
+
+
+def host_politeness_stream(
+    outcomes: DataFrame, *,
+    base_delay: float = 1.0, max_delay: float = 60.0,
+    backoff_factor: float = 2.0, decay_factor: float = 0.5,
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Per-host politeness state as a custom STATEFUL streaming
+    operator: outcomes(host string, status int) → one updated
+    (host, delay, fails, n_ok, n_bad) row per host per micro-batch.
+
+    Semantics are EXACTLY the batch engine's host-state dim merge
+    (plans/crawl.py, itself the reference RateLimiter
+    /root/reference/crawl4ai/async_dispatcher.py:45-85 made
+    deterministic): any 429/503 in the batch → delay ×backoff_factor
+    capped at max_delay, fails+1; else any success → delay
+    ×decay_factor floored at base_delay, fails reset; hosts absent
+    from the batch keep their state untouched.
+
+    Scale shape: state lives in Spark's per-partition state store
+    keyed by host — no driver dict, no collect; `state_ttl` (e.g.
+    "30 minutes" processing time) evicts idle hosts so the store
+    stays bounded by the ACTIVE host set, not the all-time one."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    bad_codes = set(BACKOFF_CODES)
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        delay, fails = state.get if state.exists else (float(base_delay), 0)
+        n_ok = n_bad = 0
+        for pdf in pdfs:
+            st = pdf["status"]
+            n_bad += int(st.isin(bad_codes).sum())
+            n_ok += int(((st >= 200) & (st < 400)).sum())
+        if n_bad > 0:
+            delay, fails = min(max_delay, delay * backoff_factor), fails + 1
+        elif n_ok > 0:
+            delay, fails = max(base_delay, delay * decay_factor), 0
+        state.update((float(delay), int(fails)))
+        if state_ttl is not None:
+            state.setTimeoutDuration(state_ttl)
+        yield pd.DataFrame(
+            [{"host": key[0], "delay": float(delay), "fails": int(fails),
+              "n_ok": n_ok, "n_bad": n_bad}]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if state_ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return outcomes.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType="host string, delay double, fails int, n_ok long, n_bad long",
+        stateStructType="delay double, fails int",
+        outputMode="update",
+        timeoutConf=timeout,
     )

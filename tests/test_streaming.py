@@ -1,15 +1,20 @@
 """Structured Streaming surface: incremental extraction equals batch
-extraction; watermarked fetch metrics aggregate correctly."""
+extraction; watermarked fetch metrics aggregate correctly; stateful
+per-host politeness state evolves across micro-batches exactly like
+the batch engine's host-state merge."""
 
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.extraction.udfs import extract_udf
 from crawl4ai_spark.sources.synthetic_web import WebConfig, synthetic_pages_pdf
-from crawl4ai_spark.streaming.continuous import fetch_metrics_stream, stream_extract
+from crawl4ai_spark.streaming.continuous import (
+    fetch_metrics_stream, host_politeness_stream, stream_extract,
+)
 
 
 def test_stream_extract_matches_batch(spark, tmp_path):
@@ -56,3 +61,53 @@ def test_fetch_metrics_windowing(spark):
     assert out[(0, "h1")] == (2, 2, 0)
     assert out[(1, "h1")] == (1, 0, 1)
     assert out[(3, "h2")] == (1, 0, 1)
+
+
+def test_host_politeness_stream_state_across_batches(spark, tmp_path):
+    """Three micro-batches of fetch outcomes; per-host (delay, fails)
+    must carry across batches with the batch engine's exact backoff/
+    decay semantics (base 1, backoff x2 cap 60, decay x0.5 floor 1):
+
+      wave 1: h1 ok    -> (1.0, 0);   h2 429 -> (2.0, 1)
+      wave 2: h1 429   -> (2.0, 1);   h2 429 -> (4.0, 2)
+      wave 3: h2 ok    -> (2.0, 0)    (h1 absent: state untouched)
+    """
+    src = tmp_path / "outcomes"
+    src.mkdir()
+    waves = [
+        [("h1", 200), ("h2", 429)],
+        [("h1", 429), ("h2", 503), ("h2", 200)],
+        [("h2", 200)],
+    ]
+    for i, rows in enumerate(waves):
+        p = str(src / f"wave{i}")
+        spark.createDataFrame(rows, "host string, status int").coalesce(
+            1
+        ).write.parquet(p)
+        # FileStreamSource orders files by modification time; force it
+        for root, _dirs, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("host string, status int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    out = host_politeness_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("host_state_t")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select host, delay, fails, n_ok, n_bad from host_state_t"
+    ).collect()
+    got = sorted((r.host, r.delay, r.fails, r.n_ok, r.n_bad) for r in rows)
+    assert got == sorted([
+        ("h1", 1.0, 0, 1, 0),
+        ("h2", 2.0, 1, 0, 1),
+        ("h1", 2.0, 1, 0, 1),
+        ("h2", 4.0, 2, 1, 1),   # bad wins over ok within a batch
+        ("h2", 2.0, 0, 1, 0),
+    ])
