@@ -36,18 +36,39 @@ def _spin(n: int) -> int:
     return x
 
 
-def _host_probe(n_procs: int, iters: int = 4_000_000) -> float:
+def _host_probe(n_procs: int, iters: int = 20_000_000) -> float:
     """Aggregate spin throughput (Miters/s) over n_procs processes.
     The sandbox host is time-shared: single-thread speed can be fine
     while AGGREGATE multi-core throughput is throttled, which hits the
     wide config asymmetrically and understates scaling.  Recording the
-    probe beside each leg makes contaminated pairs identifiable."""
-    from multiprocessing import Pool
+    probe beside each leg makes contaminated pairs identifiable.
 
-    t0 = time.time()
-    with Pool(n_procs) as p:
-        p.map(_spin, [iters] * n_procs)
-    return round(n_procs * iters / (time.time() - t0) / 1e6, 1)
+    Runs in a FRESH python subprocess (not multiprocessing.Pool): Pool
+    forks the bench process, and forking a Spark-attached parent with a
+    multi-GB RSS costs O(seconds) that varies with parent size — at the
+    old 0.5 s spin length that fork tax dominated the reading and made
+    legs with bigger drivers look like slower hosts.  A spawn-fresh
+    interpreter + 2-4 s of spin per proc measures the host, not us."""
+    code = (
+        "import time,sys\n"
+        "from multiprocessing import Pool\n"
+        "def spin(n):\n"
+        "    x=0\n"
+        "    for i in range(n): x+=i*i\n"
+        "    return x\n"
+        "if __name__=='__main__':\n"
+        f"    n,it={n_procs},{iters}\n"
+        "    t0=time.time()\n"
+        "    with Pool(n) as p: p.map(spin,[it]*n)\n"
+        "    print(n*it/(time.time()-t0)/1e6)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    try:
+        return round(float(out.stdout.strip().splitlines()[-1]), 1)
+    except (ValueError, IndexError):
+        return 0.0
 
 
 def _steal_jiffies() -> tuple[int, int]:
@@ -175,6 +196,18 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
     prep_sec = time.time() - t0p
     # fixed 16-proc probe regardless of `cpus` so legs are comparable
     probe_mops = _host_probe(16)
+    # Optional host gate (BENCH_HOST_GATE_MOPS): the timed window only
+    # starts once the host's aggregate throughput is back above the
+    # threshold, so both legs of a pair sample comparable host windows
+    # instead of whatever the time-shared VM happened to be doing.
+    # Bounded wait (BENCH_HOST_GATE_TRIES x 60 s), then run anyway and
+    # let the recorded probe flag the leg as contaminated.
+    gate = float(os.environ.get("BENCH_HOST_GATE_MOPS", "0"))
+    for _ in range(int(os.environ.get("BENCH_HOST_GATE_TRIES", "8"))):
+        if not gate or probe_mops >= gate:
+            break
+        time.sleep(60)
+        probe_mops = _host_probe(16)
     steal0, total0 = _steal_jiffies()
     t1 = time.time()
     res = engine.run(seed_urls(web, n_seeds=n_seeds))
@@ -296,8 +329,23 @@ def run_scaling(sf: float) -> None:
     # together — all-lo-then-all-hi would attribute host drift to the
     # core count.  Efficiency is also computed per adjacent pair and
     # the best pair reported alongside the best-of-runs ratio.
+    # hi_lo order flips which leg pays any systematic just-after-the-
+    # other-leg penalty (e.g. the narrow leg's shuffle-spill write-back
+    # still draining when the wide leg starts); sync + settle between
+    # legs drains it explicitly.
+    order = (
+        (n_hi, n_lo)
+        if os.environ.get("BENCH_LEG_ORDER", "lo_hi") == "hi_lo"
+        else (n_lo, n_hi)
+    )
+    settle = int(os.environ.get("BENCH_INTERLEG_SLEEP", "45"))
+    first = True
     for _ in range(runs):
-        for cpus in (n_lo, n_hi):
+        for cpus in order:
+            if not first:
+                subprocess.run(["sync"], check=False)
+                time.sleep(settle)
+            first = False
             cmd = [sys.executable, __file__, "--crawl-only", str(cpus)]
             env = dict(os.environ, BENCH_CRAWL_PAGES=str(n_pages))
             out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
