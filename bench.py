@@ -124,9 +124,24 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
             f"-Xms{heap}g -XX:ParallelGCThreads={cpus} "
             f"-XX:ConcGCThreads={max(1, cpus // 4)}"
         )
+    # BENCH_SHUFFLE_FACTOR=k → shuffle_partitions = k×slots.  Default 4:
+    # per-page extract cost is heavy-tailed (page size × link count), and
+    # at 1 task/slot the stage time is the straggler's; 4 tasks/slot lets
+    # the scheduler rebalance (measured at local[4]/240k: 218 s → 157 s).
+    # The same 2-4× tasks-per-core sizing is the standard guidance on a
+    # real cluster.  BENCH_AQE_COALESCE=0 → disable AQE post-shuffle
+    # coalescing entirely (diagnostic; the shipped fix is the 16kb
+    # minPartitionSize floor in session.get_spark — see session.py).
+    shuffle_factor = int(os.environ.get("BENCH_SHUFFLE_FACTOR", "4"))
+    if not bool(int(os.environ.get("BENCH_AQE_COALESCE", "1"))):
+        extra_conf["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
+    if os.environ.get("BENCH_MIN_PART_SIZE"):
+        extra_conf["spark.sql.adaptive.coalescePartitions.minPartitionSize"] = (
+            os.environ["BENCH_MIN_PART_SIZE"]
+        )
     spark = get_spark(
         app_name=f"crawl_bench_{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=cpus, extra_conf=extra_conf,
+        shuffle_partitions=cpus * shuffle_factor, extra_conf=extra_conf,
     )
     web = WebConfig(n_pages=n_pages, n_hosts=max(8, n_pages // 2500), seed=seed,
                     richness=int(os.environ.get("BENCH_RICHNESS", "8")))

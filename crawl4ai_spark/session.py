@@ -40,6 +40,20 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by MAP-OUTPUT BYTES,
+        # but the crawl's hot stage is a pandas-UDF extract whose input
+        # rows are skinny URLs and whose cost is per-row Python work —
+        # bytes are the wrong cost model there, and the default 1m
+        # floor let AQE fold a 15k-URL (~2 MB) admission batch into 1-2
+        # tasks, idling every other slot for the dominant stage
+        # (measured: crawl throughput saturated at ~700-900 urls/s
+        # regardless of slot count; dropping the floor to 16k restored
+        # linear use of slots — 637 → 1280 urls/s at local[4]).  With
+        # parallelismFirst (default true) coalescing then still runs,
+        # but never below defaultParallelism unless partitions would
+        # dip under 16k bytes.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PART_SIZE", "16kb"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
