@@ -13,9 +13,12 @@ Environment:
   BENCH_CRAWL_PAGES    override synthetic-web size (default 600000*sf)
 
 Scaling-evidence mode (writes BENCH/BASELINE.md):
-  python bench.py --scaling        # runs the crawl at local[8] AND
-                                   # local[32] in fresh subprocesses,
-                                   # reports both + efficiency
+  python bench.py --scaling        # runs the crawl at local[LO] AND
+                                   # local[HI] (BENCH_SCALING_LO/HI,
+                                   # default 1 and 4) in fresh
+                                   # subprocesses, interleaved pairs,
+                                   # reports both + raw AND
+                                   # probe-normalized efficiency
 Single-run crawl mode (used by --scaling subprocesses):
   python bench.py --crawl-only N   # crawl with local[N], print JSON
 """
@@ -36,7 +39,7 @@ def _spin(n: int) -> int:
     return x
 
 
-def _host_probe(n_procs: int, iters: int = 20_000_000) -> float:
+def _host_probe(n_procs: int, iters: int = 20_000_000) -> float | None:
     """Aggregate spin throughput (Miters/s) over n_procs processes.
     The sandbox host is time-shared: single-thread speed can be fine
     while AGGREGATE multi-core throughput is throttled, which hits the
@@ -62,13 +65,18 @@ def _host_probe(n_procs: int, iters: int = 20_000_000) -> float:
         "    with Pool(n) as p: p.map(spin,[it]*n)\n"
         "    print(n*it/(time.time()-t0)/1e6)\n"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True
-    )
     try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=float(os.environ.get("BENCH_PROBE_TIMEOUT_SEC", "120")),
+        )
         return round(float(out.stdout.strip().splitlines()[-1]), 1)
-    except (ValueError, IndexError):
-        return 0.0
+    except (ValueError, IndexError, subprocess.TimeoutExpired, OSError):
+        # A failed/timed-out probe means "host state UNKNOWN", not
+        # "host slow": returning 0.0 here made the gate loop sleep its
+        # whole window and zeroed the pair-balance score (ADVICE r3).
+        print("bench: host probe failed — recording null", file=sys.stderr)
+        return None
 
 
 def _steal_jiffies() -> tuple[int, int]:
@@ -219,7 +227,10 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
     # let the recorded probe flag the leg as contaminated.
     gate = float(os.environ.get("BENCH_HOST_GATE_MOPS", "0"))
     for _ in range(int(os.environ.get("BENCH_HOST_GATE_TRIES", "8"))):
-        if not gate or probe_mops >= gate:
+        # probe None = probe itself failed (unknown host state): do not
+        # gate on it — run, record null, let the pair-balance step
+        # exclude the leg.
+        if not gate or probe_mops is None or probe_mops >= gate:
             break
         time.sleep(60)
         probe_mops = _host_probe(16)
@@ -298,7 +309,12 @@ def main() -> None:
     n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(600_000 * sf)))))
     t_all = time.time()
     crawl = crawl_bench(cpus, n_pages)
+    # Probe the host around the query session too (r3 showed 2-5x
+    # ambient per-query swings on identical code): a probe on each
+    # side makes a contaminated query window identifiable in-file.
+    probe_before = _host_probe(16)
     queries = query_bench(sf_dir, cpus)
+    probe_after = _host_probe(16)
     total = round(time.time() - t_all, 2)
     result = {
         "metric": "urls_fetched_extracted_per_sec",
@@ -307,6 +323,9 @@ def main() -> None:
         "queries": {**queries, "crawl_synthetic_web": crawl["crawl_sec"]},
         "sf": sf,
         "crawl": crawl,
+        "query_session_probe_mops": {
+            "before": probe_before, "after": probe_after,
+        },
         "total_sec": total,
     }
     print(json.dumps(result))
@@ -318,11 +337,15 @@ def run_scaling(sf: float) -> None:
     throughput at both + efficiency.
 
     Protocol notes:
-    - N=2, 4N=8 (not 8/32): the host has 32 vCPUs and every Spark
-      task thread is paired with a Python UDF worker process, so
-      local[32] would oversubscribe 2× and measure contention, not
-      scaling.  2+2 and 8+8 processes both fit in 32 vCPUs with room
-      for the driver.
+    - N=1, 4N=4 (BENCH_SCALING_LO/HI; not 8/32): the host has 32
+      vCPUs but its DELIVERABLE aggregate throughput is time-shared
+      and swings (see SCALING_NOTES.md); 1 and 4 slots (each slot =
+      a JVM task thread + a Python UDF worker) keep both legs well
+      inside the host's worst measured capacity so the ratio
+      measures the engine, not host throttling.  NOTE: a 1→4 record
+      is NOT face-value comparable to earlier 2→8 records — the
+      local[1] denominator excludes all multi-slot coordination
+      cost (documented in BENCH/BASELINE.md).
     - lo/hi runs INTERLEAVED in pairs (see loop comment) against the
       host's measured tens-of-% CPU-speed drift over tens of minutes.
     - best-of-`BENCH_SCALING_RUNS` (default 2) per level: the sandbox
@@ -334,8 +357,8 @@ def run_scaling(sf: float) -> None:
     """
     n_pages = int(os.environ.get("BENCH_CRAWL_PAGES", str(max(2000, int(9_600_000 * sf)))))
     runs = int(os.environ.get("BENCH_SCALING_RUNS", "2"))
-    n_lo = int(os.environ.get("BENCH_SCALING_LO", "2"))
-    n_hi = int(os.environ.get("BENCH_SCALING_HI", "8"))
+    n_lo = int(os.environ.get("BENCH_SCALING_LO", "1"))
+    n_hi = int(os.environ.get("BENCH_SCALING_HI", "4"))
     results = {}
     all_runs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     # INTERLEAVED lo/hi pairs: the sandbox host's effective CPU speed
@@ -370,21 +393,41 @@ def run_scaling(sf: float) -> None:
             if cpus not in results or r["crawl_sec"] < results[cpus]["crawl_sec"]:
                 results[cpus] = r
     t_lo, t_hi = results[n_lo]["urls_per_sec"], results[n_hi]["urls_per_sec"]
-    efficiency = round((t_hi / t_lo) / (n_hi / n_lo), 3) if t_lo > 0 else 0.0
+    ratio = n_hi / n_lo
+    efficiency = round((t_hi / t_lo) / ratio, 3) if t_lo > 0 else 0.0
     pairs = list(zip(all_runs[n_lo], all_runs[n_hi]))
     pair_effs = [
-        round((hi["urls_per_sec"] / lo["urls_per_sec"]) / (n_hi / n_lo), 3)
+        round((hi["urls_per_sec"] / lo["urls_per_sec"]) / ratio, 3)
         for lo, hi in pairs if lo["urls_per_sec"] > 0
     ]
+
+    # Probe-normalized efficiency: divide each leg's throughput by the
+    # host capacity its probe measured, cancelling ambient host drift
+    # between the two legs.  eff_norm = eff_raw * (probe_lo/probe_hi).
+    # Null when either probe failed (unknown ≠ slow).
+    def _norm_eff(p):
+        lo, hi = p
+        a, b = lo.get("host_probe_mops"), hi.get("host_probe_mops")
+        if not a or not b or lo["urls_per_sec"] <= 0:
+            return None
+        return round(
+            (hi["urls_per_sec"] / b) / (lo["urls_per_sec"] / a) / ratio, 3
+        )
+
+    pair_norm_effs = [_norm_eff(p) for p in pairs]
+
     # Headline = the pair measured under the most SIMILAR host
     # conditions (closest 16-proc spin-probe throughput between its
     # two legs).  The host is time-shared: contention during one leg
     # but not the other corrupts the ratio in either direction, and
-    # the probe detects it leg-by-leg.
+    # the probe detects it leg-by-leg.  Pairs with a failed probe on
+    # either leg rank below any fully-probed pair.
     def _balance(p):
         lo, hi = p
-        a, b = lo.get("host_probe_mops", 0), hi.get("host_probe_mops", 0)
-        return min(a, b) / max(a, b) if max(a, b) > 0 else 0.0
+        a, b = lo.get("host_probe_mops"), hi.get("host_probe_mops")
+        if not a or not b:
+            return -1.0
+        return min(a, b) / max(a, b)
 
     best_i = max(range(len(pairs)), key=lambda i: _balance(pairs[i]))
     summary = {
@@ -393,7 +436,9 @@ def run_scaling(sf: float) -> None:
         "unit": "ratio",
         "n_pages": n_pages,
         "pair_efficiencies": pair_effs,
+        "pair_probe_normalized_efficiencies": pair_norm_effs,
         "headline_pair": best_i,
+        "headline_probe_normalized": pair_norm_effs[best_i],
         "best_of_levels_efficiency": efficiency,
         f"local{n_lo}": pairs[best_i][0],
         f"local{n_hi}": pairs[best_i][1],
@@ -428,8 +473,11 @@ def run_scaling(sf: float) -> None:
                 f"| {r.get('steal_pct', '?')} |\n"
                 for r in pairs[best_i]
             )
-            + f"\n**Crawl-loop scaling efficiency (T{n_hi}/T{n_lo})/{n_hi // n_lo}"
-            f" = {pair_effs[best_i]}**\n\n"
+            + f"\n**Crawl-loop scaling efficiency (T{n_hi}/T{n_lo})/{ratio:g}"
+            f" = {pair_effs[best_i]}** (raw); probe-normalized "
+            f"(each leg's throughput divided by its own host-probe "
+            f"reading, cancelling ambient host drift): "
+            f"**{pair_norm_effs[best_i]}**.\n\n"
             "Headline = the interleaved lo/hi pair whose two legs ran under\n"
             "the most similar host conditions (closest fixed 16-process spin-\n"
             "probe throughput, shown per leg above).  The sandbox host is\n"
@@ -437,7 +485,14 @@ def run_scaling(sf: float) -> None:
             "2x on minute timescales (single-thread speed stays flat), which\n"
             "hits whichever leg is running — usually the wide one, understating\n"
             "scaling.  All interleaved-pair efficiencies measured: "
-            f"{pair_effs}\n(best-of-levels cross-pair ratio: {efficiency}).\n\n"
+            f"{pair_effs}\n(probe-normalized: {pair_norm_effs}; "
+            f"best-of-levels cross-pair ratio: {efficiency}).\n\n"
+            f"COMPARABILITY NOTE: this is a {n_lo}->{n_hi}-slot record. "
+            "Records at different\nlo/hi levels are NOT face-value "
+            "comparable: a local[1] denominator\nexcludes all multi-slot "
+            "coordination cost (shuffle exchange, scheduler\noverlap) "
+            "that a local[2] denominator includes, so e.g. 1->4 and "
+            "2->8\nefficiencies measure slightly different quantities.\n\n"
             f"Corpus: {n_pages} synthetic pages (seed 42, richness "
             f"{os.environ.get('BENCH_RICHNESS', '8')}), politeness budgets\n"
             "relaxed to throughput mode (per-host caps provably non-binding;\n"
@@ -465,9 +520,10 @@ def run_scaling(sf: float) -> None:
             "by `python scripts/extract_scaling.py` — see BENCH_r02 notes:\n"
             "0.852 at 4->16 on 115k pages.\n\n"
             f"Reproduce: `BENCH_CRAWL_PAGES={n_pages} BENCH_SCALING_RUNS={runs} \\\n"
+            f"BENCH_SCALING_LO={n_lo} BENCH_SCALING_HI={n_hi} "
+            f"BENCH_HOST_GATE_MOPS={os.environ.get('BENCH_HOST_GATE_MOPS', '0')} \\\n"
             "python bench.py --scaling`\n"
-            f"(BENCH_SCALING_LO={n_lo}, BENCH_SCALING_HI={n_hi}, "
-            "BENCH_PROP_RESOURCES=1 default).\n"
+            "(BENCH_PROP_RESOURCES=1 default).\n"
         )
 
 
