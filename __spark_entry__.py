@@ -376,15 +376,17 @@ def q_lsh_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH top-k (VERDICT r2 #7): each query
     probes its own bucket plus every hamming-distance-1 bucket, then
     exact-cosine re-ranks within the probed candidates.  md5 plane
-    derivation so the oracle re-derives identical buckets."""
-    from crawl4ai_spark.operators.similarity import lsh_topk
+    derivation so the oracle re-derives identical buckets (matrix
+    driver-derived once via dim= — not per row)."""
+    from crawl4ai_spark.operators.similarity import infer_dim, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.filter(F.col("vec_id") >= 8)
-    out = lsh_topk(corpus, queries, k=5, n_planes=6, n_probes=7, plane_fn="md5")
+    out = lsh_topk(corpus, queries, k=5, n_planes=6, n_probes=7, plane_fn="md5",
+                   dim=infer_dim(emb))
     return out.select(
         "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     ).orderBy("query_id", "rank")
@@ -394,13 +396,15 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket
     self-join candidates, exact-cosine verify, threshold cut (the
     embedding analogue of the minhash→LSH→jaccard text cascade).
-    md5 plane derivation so the oracle re-derives identical buckets.
+    md5 plane derivation so the oracle re-derives identical buckets
+    (matrix driver-derived once via dim= — not per row).
     Threshold 0.3 sits in a >=1e-3 gap of the sf0.01 cosine
     distribution, so Spark/DuckDB float noise cannot flip membership."""
-    from crawl4ai_spark.operators.similarity import cosine_dup_pairs
+    from crawl4ai_spark.operators.similarity import cosine_dup_pairs, infer_dim
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_dup_pairs(emb, threshold=0.3, n_planes=6, plane_fn="md5")
+    out = cosine_dup_pairs(emb, threshold=0.3, n_planes=6, plane_fn="md5",
+                           dim=infer_dim(emb))
     return out.select(
         "a", "b", F.round("cos_sim", 6).alias("cos_sim")
     ).orderBy("a", "b")
@@ -408,28 +412,14 @@ def q_dedup_embedding(spark, sf_dir):
 
 def q_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket histogram; planes derived from md5
-    so the oracle re-derives identical buckets."""
+    so the oracle re-derives identical buckets (matrix driver-derived
+    once via dim= — not per row)."""
+    from crawl4ai_spark.operators.similarity import hyperplane_bucket, infer_dim
+
     emb = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding")
-    bucket = F.lit(0)
-
-    def _comp(p: int):
-        # 1-arg closure (2-arg HOF lambdas receive (element, index))
-        return F.transform(
-            F.sequence(F.lit(0), F.size(v) - 1),
-            lambda i: F.when(
-                F.substring(F.md5(F.concat(F.lit(f"{p}_"), i.cast("string"))), 1, 1)
-                .isin("0", "1", "2", "3", "4", "5", "6", "7"),
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-
-    for p in range(6):
-        dot = F.aggregate(
-            F.zip_with(v, _comp(p), lambda x, w: x.cast("double") * w),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucket = hyperplane_bucket(
+        F.col("embedding"), n_planes=6, plane_fn="md5", dim=infer_dim(emb)
+    )
     return (
         emb.withColumn("bucket", bucket.cast("long"))
         .groupBy("bucket").agg(F.count("*").alias("n_vecs"))
@@ -438,23 +428,39 @@ def q_lsh_buckets(spark, sf_dir):
 
 
 def q_label_centroid_sim(spark, sf_dir):
-    """Embedding-cosine near-dup shape: per label, distinct pair count
-    with cosine ≥ 0.2 within the label group (grouped self-join)."""
-    from crawl4ai_spark.operators.similarity import cosine
+    """TRUE per-label centroid similarity (VERDICT r3 #3 fix): the
+    element-wise centroid per label is ONE groupBy agg (dim avg
+    columns — map-side partial aggregation, one shuffle on label);
+    the tiny (label, centroid) dim broadcasts back and each vector
+    gets its exact cosine to its own label's centroid.  Linear in
+    rows at any scale — replaces the grouped all-pairs self-join
+    that was quadratic in a hot label's group size.  Threshold 0.415
+    sits mid-gap (≥0.02 wide) of the sim distribution at both
+    sf0.001 and sf0.01, so Spark/DuckDB float noise cannot flip
+    membership."""
+    from crawl4ai_spark.operators.similarity import cosine, infer_dim
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("label"), F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("label"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    pairs = (
-        a.join(b, "label")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine("va", "vb"))
-    )
-    return (
-        pairs.groupBy("label")
+    dim = infer_dim(emb)
+    cent = (
+        emb.groupBy("label")
         .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(F.when(F.col("cos") >= 0.2, 1).otherwise(0)).alias("n_similar"),
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"_c{i}")
+                for i in range(dim)
+            ]
+        )
+        .select("label", F.array(*[f"_c{i}" for i in range(dim)]).alias("centroid"))
+    )
+    sim = cosine(F.col("embedding"), F.col("centroid"))
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("label", sim.alias("sim"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+            F.sum(F.when(F.col("sim") >= 0.415, 1).otherwise(0)).alias("n_similar"),
         )
         .orderBy("label")
     )
@@ -1512,15 +1518,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket
         """,
         "label_centroid_sim": """
-            WITH pairs AS (
-              SELECT a.label, a.vec_id AS a, b.vec_id AS b,
-                     list_cosine_similarity(a.embedding, b.embedding) AS cos
-              FROM embeddings a JOIN embeddings b
-                ON a.label = b.label AND a.vec_id < b.vec_id
+            WITH ex AS (
+              SELECT label, vec_id,
+                     unnest(embedding)::DOUBLE AS x,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ),
+            cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY label, i),
+            cn AS (SELECT label, sqrt(sum(c*c)) AS nc FROM cent GROUP BY label),
+            d AS (
+              SELECT e.label, e.vec_id, sum(e.x*c.c) AS dot,
+                     sqrt(sum(e.x*e.x)) AS nv
+              FROM ex e JOIN cent c ON e.label=c.label AND e.i=c.i
+              GROUP BY e.label, e.vec_id
+            ),
+            s AS (
+              SELECT d.label, d.dot/(d.nv*cn.nc) AS sim
+              FROM d JOIN cn ON d.label=cn.label
             )
-            SELECT label, count(*) AS n_pairs,
-                   sum(CASE WHEN cos >= 0.2 THEN 1 ELSE 0 END)::BIGINT AS n_similar
-            FROM pairs GROUP BY label ORDER BY label
+            SELECT label, count(*) AS n_vecs, round(avg(sim), 6) AS avg_sim,
+                   sum(CASE WHEN sim >= 0.415 THEN 1 ELSE 0 END)::BIGINT AS n_similar
+            FROM s GROUP BY label ORDER BY label
         """,
         "text_stats": f"""
             WITH w AS (

@@ -13,13 +13,32 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin
 
-# [text](url) / [text](url "title") / ![alt](src), non-greedy text
-_LINK_RE = re.compile(r"!?\[([^\]]*)\]\(([^()\s\"]+)(?:\s+\"([^\"]*)\")?\)")
+# Reference-parity link pattern (markdown_generation_strategy.py:11):
+# text is NON-empty ([^\]]+ — `[](u)` is left untouched), url is
+# non-greedy [^)]+? so it may contain spaces/quotes, title optional.
+_LINK_RE = re.compile(r"!?\[([^\]]+)\]\(([^)]+?)(?:\s+\"([^\"]*)\")?\)")
+
+
+def resolve_citation_url(base: str, url: str) -> str:
+    """Reference-parity URL join for citations
+    (markdown_generation_strategy.py:14-24 `fast_urljoin`): scheme'd /
+    protocol-relative / mailto URLs pass through; a leading-slash path
+    is STRING-CONCATENATED onto the full base (the reference's
+    documented fast path — not RFC 3986 resolution, kept verbatim for
+    byte-parity); everything else falls back to urljoin."""
+    if url.startswith(("http://", "https://", "mailto:", "//")):
+        return url
+    if url.startswith("/"):
+        if base.endswith("/"):
+            return base[:-1] + url
+        return base + url
+    return urljoin(base, url)
 
 
 def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:
     """Returns (markdown_with_citations, references_markdown)."""
     link_map: dict[str, tuple[int, str]] = {}
+    url_cache: dict[str, str] = {}
     parts: list[str] = []
     last_end = 0
     counter = 1
@@ -29,7 +48,9 @@ def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, 
         text, url, title = m.group(1), m.group(2), m.group(3)
 
         if base_url and not url.startswith(("http://", "https://", "mailto:")):
-            url = urljoin(base_url, url)
+            if url not in url_cache:
+                url_cache[url] = resolve_citation_url(base_url, url)
+            url = url_cache[url]
 
         if url not in link_map:
             desc = []

@@ -53,10 +53,21 @@ def coverage(docs: DataFrame, query_terms: list[str],
 
 
 def consistency(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                max_pairs: int = 10_000) -> float:
+                max_pairs: int = 10_000, max_df: int | None = None) -> float:
     """Avg pairwise Jaccard of document term SETS via inverted-index
     join (adaptive_crawler.py:331-360 semantics).  Pairs sharing no
-    term contribute 0 and are counted in the denominator."""
+    term contribute 0 and are counted in the denominator.
+
+    `max_df` is the hot-term scale guard (same pattern as
+    `dedup.jaccard_pairs`): candidate pairs come only from terms with
+    document frequency ≤ max_df, so a stop word appearing in k docs
+    can no longer contribute k² join rows; each candidate pair's
+    Jaccard is then still EXACT over the full term sets
+    (candidate-driven double equi-join).  Pairs whose overlap is ONLY
+    hot terms are treated as 0 — a conservative (under-)estimate of
+    consistency, which biases the confidence stop later, never
+    earlier.  None (default) keeps the exact all-sharing-pairs join —
+    fine for adaptive KBs (hundreds of docs), not for open corpora."""
     n = docs.count()
     if n < 2:
         return 1.0 if n == 1 else 0.0
@@ -64,15 +75,37 @@ def consistency(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.col(id_col), F.explode(F.array_distinct(tokenize(text_col))).alias("term")
     )
     sizes = terms.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        dfreq = terms.groupBy("term").agg(F.count("*").alias("_df"))
+        rare = terms.join(
+            dfreq.filter(F.col("_df") <= max_df).select("term"), "term", "left_semi"
+        )
+        cand = (
+            rare.alias("x").join(rare.alias("y"), "term")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+            .distinct()
+            .limit(max_pairs)
+        )
+        pair_i = (
+            cand.join(terms.select(F.col(id_col).alias("a"), "term"), "a")
+            .join(terms.select(F.col(id_col).alias("b"), "term"), ["b", "term"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("i"))
+        )
+    else:
+        pair_i = (
+            terms.alias("x").join(terms.alias("y"), "term")
+            .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+            .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+            .agg(F.count("*").alias("i"))
+            .limit(max_pairs)
+        )
     inter = (
-        terms.alias("x").join(terms.alias("y"), "term")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .groupBy(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .agg(F.count("*").alias("i"))
+        pair_i
         .join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("na")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("nb")), "b")
         .withColumn("j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .limit(max_pairs)
     )
     s = inter.agg(F.sum("j").alias("s")).collect()[0]["s"] or 0.0
     total_pairs = n * (n - 1) // 2

@@ -259,3 +259,27 @@ def test_adaptive_metrics(spark):
     assert 0.0 <= sat <= 1.0
     conf = AD.confidence(cov, cons, sat)
     assert 0.0 <= conf <= 1.2
+
+
+def test_consistency_max_df_guard(spark):
+    """The hot-term guard (VERDICT r3 #4): a stop word shared by every
+    doc must not drive the inverted-index self-join quadratic.  With
+    max_df, candidates come only from rare terms, but each candidate
+    pair's Jaccard stays EXACT over the full term sets — so docs whose
+    only overlap is the hot term drop to 0 (conservative), while
+    rare-term pairs keep their exact value."""
+    # 20 docs all containing hot term "the"; docs 1 and 2 also share
+    # rare term "zebra" (sets: {the, zebra, aa}, {the, zebra, bb}).
+    rows = [(1, "the zebra aa"), (2, "the zebra bb")] + [
+        (i, f"the only{i}") for i in range(3, 21)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = len(rows)
+    total_pairs = n * (n - 1) // 2
+    guarded = AD.consistency(df, max_df=3)
+    # only the (1,2) candidate survives: jaccard({the,zebra,aa},
+    # {the,zebra,bb}) = 2/4; every hot-only pair contributes 0
+    assert abs(guarded - (2 / 4) / total_pairs) < 1e-9
+    # unguarded exact: pairs sharing only "the" contribute 1/|a∪b| > 0
+    exact = AD.consistency(df)
+    assert exact > guarded > 0.0

@@ -123,7 +123,9 @@ def test_citations():
     cited, refs = convert_links_to_citations(md, PAGE_URL)
     assert cited == "See next page⟨1⟩ and other⟨2⟩ and next page⟨3⟩."\
         .replace("next page⟨3⟩", "next page⟨1⟩")  # same URL → same number
-    assert "⟨1⟩ https://h1.example.test/docs/next: next page" in refs
+    # leading-slash join is the reference's string-concat fast path
+    # (fast_urljoin:19-23), pinned byte-exactly by test_citations_golden
+    assert "⟨1⟩ https://h1.example.test/docs/intro/docs/next: next page" in refs
     assert "⟨2⟩ https://o.org/x: other" in refs
 
 
@@ -131,7 +133,7 @@ def test_image_citation():
     md = "![Hero](/img/hero.png)"
     cited, refs = convert_links_to_citations(md, PAGE_URL)
     assert cited == "![Hero⟨1⟩]"
-    assert "⟨1⟩ https://h1.example.test/img/hero.png: Hero" in refs
+    assert "⟨1⟩ https://h1.example.test/docs/intro/img/hero.png: Hero" in refs
 
 
 def test_extract_one_contract():
