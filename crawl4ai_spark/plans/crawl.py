@@ -327,6 +327,7 @@ class CrawlEngine:
         partition_pages: bool = True,
         transport_factory=None,
         transport_cache_key: str | None = None,
+        pace_fetch: bool = False,
         page_cache: DataFrame | None = None,
         cache_mode=None,
         robots_as_table: bool = False,
@@ -349,11 +350,26 @@ class CrawlEngine:
         # transports share the interface); without one, the synthetic
         # corpus join below stands in.
         self._fetch_udf = None
+        self._pace_fetch = bool(pace_fetch)
         self.pages = pages
         if transport_factory is not None:
-            from crawl4ai_spark.sources.fetch import make_fetch_udf
+            if self._pace_fetch:
+                # P1 variant b: wall-clock same-host spacing INSIDE the
+                # fetch UDF (reference RateLimiter.wait_if_needed,
+                # async_dispatcher.py:45-63) — the UDF takes the
+                # per-host delay column; in host-state table mode that
+                # is the live backoff/decay delay, else base_delay.
+                from crawl4ai_spark.sources.fetch import make_paced_fetch_udf
 
-            self._fetch_udf = make_fetch_udf(transport_factory, cache_key=transport_cache_key)
+                self._fetch_udf = make_paced_fetch_udf(
+                    transport_factory, cache_key=transport_cache_key
+                )
+            else:
+                from crawl4ai_spark.sources.fetch import make_fetch_udf
+
+                self._fetch_udf = make_fetch_udf(
+                    transport_factory, cache_key=transport_cache_key
+                )
             self.pages_eff = None
         else:
             p = pages.select("url", "status_code", "redirect_to", "html")
@@ -881,12 +897,31 @@ class CrawlEngine:
             # the stage — then one transport UDF per row batch.
             # Cache hits pass a null URL so the transport never fires
             # for them (J3 cache-hit skip).
-            fetched = fetch_in.repartition(
+            fetch_in = fetch_in.repartition(
                 n_parts, F.col("host"),
                 F.pmod(F.coalesce("url_hash", F.lit(0)), F.lit(4 * n_parts)),
-            ).withColumn(
-                "_fr", self._fetch_udf(F.when(~hit, F.col("url")))
             )
+            if self._pace_fetch:
+                # per-host delay: live host-state dim in table mode
+                # (host, delay, fails) else the configured base delay;
+                # the paced UDF sleeps same-host requests ≥ delay apart
+                if self._host_df is not None:
+                    fetch_in = fetch_in.join(
+                        F.broadcast(self._host_df.select("host", F.col("delay").alias("_pace_delay"))),
+                        "host", "left",
+                    )
+                    delay_col = F.coalesce(
+                        F.col("_pace_delay"), F.lit(float(self.cfg.base_delay))
+                    )
+                else:
+                    delay_col = F.lit(float(self.cfg.base_delay))
+                fetched = fetch_in.withColumn(
+                    "_fr", self._fetch_udf(F.when(~hit, F.col("url")), delay_col)
+                )
+            else:
+                fetched = fetch_in.withColumn(
+                    "_fr", self._fetch_udf(F.when(~hit, F.col("url")))
+                )
             fetched = fetched.select(
                 *[F.col(c) for c in batch_cols],
                 cache_or(F.col("c_status"),

@@ -48,6 +48,7 @@ __all__ = [
     "AiohttpTransport",
     "FETCH_RESULT",
     "make_fetch_udf",
+    "make_paced_fetch_udf",
     "make_head_probe_udf",
     "head_probe_one",
 ]
@@ -298,6 +299,100 @@ def make_head_probe_udf(transport_factory: Callable[[], Transport]):
 # per-executor transport cache: one live transport per factory object,
 # shared by every Arrow batch of every task in the process
 _TRANSPORTS: dict = {}
+
+# ── in-UDF same-host pacing (P1 variant b) ────────────────────────────
+# Wall-clock inter-request delay between SAME-HOST requests inside the
+# fetch UDF — the reference RateLimiter.wait_if_needed semantics
+# (async_dispatcher.py:45-63: sleep until current_delay has elapsed
+# since the host's last request, then stamp).  State is per executor
+# PROCESS; the engine repartitions the admitted batch by host before
+# the fetch UDF, so a host's requests co-locate and process-local
+# pacing is globally correct for that host.  Unlike the reference, the
+# delay VALUE is not mutated here — backoff/decay live in the engine's
+# host-state merge (J5/A4), and the paced UDF receives the current
+# per-host delay as a column.
+
+_HOST_LAST: dict[str, float] = {}
+_HOST_LOCKS: dict = {}
+_PACE_GUARD = None  # created lazily: a threading.Lock
+
+
+def _pace_host(host: str, delay: float) -> None:
+    """Block until `delay` seconds have passed since this process last
+    fetched from `host`, then stamp the new request time."""
+    import threading
+    import time as _time
+
+    global _PACE_GUARD
+    if _PACE_GUARD is None:
+        _PACE_GUARD = threading.Lock()
+    with _PACE_GUARD:
+        lock = _HOST_LOCKS.setdefault(host, threading.Lock())
+    with lock:
+        last = _HOST_LAST.get(host)
+        if last is not None and delay > 0:
+            wait = delay - (_time.monotonic() - last)
+            if wait > 0:
+                _time.sleep(wait)
+        _HOST_LAST[host] = _time.monotonic()
+
+
+def make_paced_fetch_udf(
+    transport_factory: Callable[[], Transport], cache_key: str | None = None,
+    max_parallel_hosts: int = 16,
+):
+    """(url, delay_sec) → struct(status_code, html, final_url, error).
+
+    Same transport caching as `make_fetch_udf`, plus per-host pacing:
+    within an Arrow batch, same-host URLs fetch SEQUENTIALLY with
+    ≥ delay_sec spacing (enforced against the process-wide last-request
+    stamp, so spacing holds across batches and tasks in the process
+    too); distinct hosts proceed in parallel.  Null/empty URLs (cache
+    hits) skip pacing and return the transport's not-found row, like
+    the unpaced UDF."""
+    key = cache_key or id(transport_factory)
+
+    @pandas_udf(FETCH_RESULT)
+    def paced_fetch_udf(url: pd.Series, delay_sec: pd.Series) -> pd.DataFrame:
+        from concurrent.futures import ThreadPoolExecutor
+
+        t = _TRANSPORTS.get(key)
+        if t is None:
+            t = transport_factory()
+            _TRANSPORTS[key] = t
+        urls = [u if isinstance(u, str) else "" for u in url]
+        delays = [float(d) if d == d and d is not None else 0.0 for d in delay_sec]
+        results: list[FetchResult | None] = [None] * len(urls)
+
+        groups: dict[str, list[int]] = {}
+        for i, u in enumerate(urls):
+            host = urlparse(u).netloc if u else ""
+            groups.setdefault(host, []).append(i)
+
+        def run_host(host: str, idxs: list[int]) -> None:
+            for i in idxs:
+                if urls[i] and host:
+                    _pace_host(host, delays[i])
+                results[i] = t.fetch_batch([urls[i]])[0]
+
+        if len(groups) == 1:
+            [(h, idxs)] = groups.items()
+            run_host(h, idxs)
+        else:
+            with ThreadPoolExecutor(
+                max_workers=max(1, min(len(groups), max_parallel_hosts))
+            ) as pool:
+                list(pool.map(lambda kv: run_host(*kv), groups.items()))
+
+        return pd.DataFrame(
+            [
+                {"status_code": r.status_code, "html": r.html,
+                 "final_url": r.final_url, "error": r.error}
+                for r in results  # type: ignore[union-attr]
+            ]
+        )
+
+    return paced_fetch_udf
 
 
 def make_fetch_udf(transport_factory: Callable[[], Transport], cache_key: str | None = None):
