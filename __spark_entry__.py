@@ -466,6 +466,43 @@ def q_label_centroid_sim(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k — the data-ADAPTIVE ANN
+    scale path beside the data-oblivious hyperplane LSH: coarse
+    quantizer = per-label mean centroids (deterministic, re-derivable
+    by the oracle — no stored model), every corpus vector assigned
+    map-side to its single nearest cell, each query probes its 2
+    nearest cells, exact cosine re-rank within probed cells only.
+    Cell-assignment margins checked in DuckDB: min best-vs-second gap
+    1.1e-4 (sf0.01) and min probe-boundary gap 7.3e-3 (sf0.001) —
+    both >> double drift, so Spark/DuckDB cannot disagree on a cell."""
+    from crawl4ai_spark.operators.similarity import infer_dim, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = infer_dim(emb)
+    cent = (
+        emb.groupBy("label")
+        .agg(
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"_c{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            F.col("label").cast("long").alias("vec_id"),
+            F.array(*[f"_c{i}" for i in range(dim)]).alias("embedding"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    out = ivf_topk(corpus, queries, cent, k=5, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 # ── text analysis ────────────────────────────────────────────────────
 
 def q_text_stats(spark, sf_dir):
@@ -1147,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_multiprobe": q_lsh_multiprobe,
         "dedup_embedding": q_dedup_embedding,
         "label_centroid_sim": q_label_centroid_sim,
+        "ivf_topk": q_ivf_topk,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1539,6 +1577,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n_vecs, round(avg(sim), 6) AS avg_sim,
                    sum(CASE WHEN sim >= 0.415 THEN 1 ELSE 0 END)::BIGINT AS n_similar
             FROM s GROUP BY label ORDER BY label
+        """,
+        "ivf_topk": """
+            WITH ex AS (
+              SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ),
+            cent AS (
+              SELECT e2.label AS cell, ex.i, avg(ex.x) AS c
+              FROM ex JOIN embeddings e2 USING (vec_id) GROUP BY e2.label, ex.i
+            ),
+            cn AS (SELECT cell, sqrt(sum(c*c)) AS nc FROM cent GROUP BY cell),
+            vn AS (SELECT vec_id, sqrt(sum(x*x)) AS nv FROM ex GROUP BY vec_id),
+            sims AS (
+              SELECT ex.vec_id, cent.cell,
+                     sum(ex.x * cent.c) / (any_value(vn.nv) * any_value(cn.nc)) AS sim
+              FROM ex JOIN cent ON ex.i = cent.i
+              JOIN vn ON vn.vec_id = ex.vec_id JOIN cn ON cn.cell = cent.cell
+              GROUP BY ex.vec_id, cent.cell
+            ),
+            asgn AS (
+              SELECT vec_id, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS r
+              FROM sims
+            ),
+            c AS (
+              SELECT e.vec_id, e.embedding, a.cell
+              FROM embeddings e JOIN asgn a ON a.vec_id = e.vec_id AND a.r = 1
+              WHERE e.vec_id >= 8
+            ),
+            q AS (
+              SELECT e.vec_id AS query_id, e.embedding AS qv, a.cell
+              FROM embeddings e JOIN asgn a ON a.vec_id = e.vec_id AND a.r <= 2
+              WHERE e.vec_id < 8
+            ),
+            scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_sum(list_transform(generate_series(1, len(c.embedding)),
+                              i -> c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(generate_series(1, len(c.embedding)),
+                              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))
+                        * sqrt(list_sum(list_transform(generate_series(1, len(q.qv)),
+                              i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) AS cos_raw
+              FROM c JOIN q ON c.cell = q.cell
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, round(cos_raw, 6) AS cos_sim, rank
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "text_stats": f"""
             WITH w AS (

@@ -1,0 +1,142 @@
+"""IVF (inverted-file) approximate top-k over an embedding column.
+
+Reference behavior: crawl4ai has no ANN operator; this is the
+training-data-pipeline extension (similarity search: brute-force
+baseline + bucketed scale paths).  IVF is the data-ADAPTIVE companion
+to the data-oblivious hyperplane LSH (`lsh_topk`): a small coarse
+quantizer (here: deterministic per-label mean centroids) partitions
+the corpus into cells; queries probe their n_probe nearest cells and
+exact-cosine re-rank inside them only.
+
+Recall is asserted on the LSH-honest planted workload (see
+test_multiprobe_lsh.py): the synthetic embeddings are label-clustered,
+so a query planted at cos ≈ 0.96 of a corpus vector lands in (or one
+probe away from) that vector's cell with near-certainty.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.similarity import (
+    collect_centroids, cosine_topk, ivf_cells, ivf_topk,
+)
+
+
+def _label_centroids(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cent = (
+        emb.groupBy("label")
+        .agg(
+            *[
+                F.avg(F.element_at("embedding", i + 1).cast("double")).alias(f"_c{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            F.col("label").cast("long").alias("vec_id"),
+            F.array(*[f"_c{i}" for i in range(dim)]).alias("embedding"),
+        )
+    )
+    return collect_centroids(cent)
+
+
+def test_ivf_cells_tiny(spark):
+    # 2-D, 3 axis-ish centroids: assignment and probe order are exact.
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])]
+    df = spark.createDataFrame(
+        [(0, [0.9, 0.1]), (1, [0.1, 0.9]), (2, [-0.5, 0.5]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r["cells"]
+        for r in df.select(
+            "vec_id", ivf_cells(F.col("embedding"), cents, n_probe=2).alias("cells")
+        ).collect()
+    }
+    assert out[0] == [0, 1]  # near +x: cell 0, then +y
+    assert out[1] == [1, 0]
+    assert out[2] == [1, 2]  # 135°: +y first, then -x
+    assert out[3] == [0, 1]  # exact 45° tie between cells 0 and 1 → cid asc
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    # n_probe=1 assignment is a partition: every vector in exactly one
+    # cell, total count preserved (the no-candidate-dedup invariant).
+    cents = _label_centroids(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    assigned = emb.select(
+        F.element_at(ivf_cells(F.col("embedding"), cents, 1), 1).alias("cell")
+    )
+    per_cell = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in per_cell) == n
+    assert all(r["cell"] is not None for r in per_cell)
+
+
+@pytest.fixture(scope="module")
+def planted(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal(V.shape)
+    noise *= np.linalg.norm(V, axis=1, keepdims=True) / np.linalg.norm(
+        noise, axis=1, keepdims=True
+    )
+    Q = V + 0.28 * noise  # cos(v, v') ≈ 0.963
+    corpus = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(ids, V)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, q.tolist()) for i, q in zip(ids, Q)],
+        "query_id long, query_vec array<double>",
+    )
+    return corpus, queries
+
+
+def test_ivf_recall_planted(spark, sf_dir, planted):
+    corpus, queries = planted
+    cents = _label_centroids(spark, sf_dir)
+    hits = (
+        ivf_topk(corpus, queries, cents, k=5, n_probe=2)
+        .filter(F.col("query_id") == F.col("vec_id"))
+        .count()
+    )
+    n = queries.count()
+    # planted neighbor sits in its source's label cluster; 2 probes
+    # recover cell-boundary plants.
+    assert hits / n >= 0.9, f"planted recall {hits}/{n}"
+
+
+def test_ivf_matches_brute_force_within_probed_cells(spark, sf_dir, planted):
+    corpus, queries = planted
+    cents = _label_centroids(spark, sf_dir)
+    k = 3
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(corpus, queries, cents, k=k, n_probe=len(cents)).collect()
+    }
+    # probing ALL cells == exact brute force
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(corpus, queries, k=k).collect()
+    }
+    assert ivf == brute
+
+
+def test_ivf_plan_no_cartesian(spark, sf_dir, planted):
+    corpus, queries = planted
+    cents = _label_centroids(spark, sf_dir)
+    plan = ivf_topk(corpus, queries, cents, k=5, n_probe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
