@@ -134,13 +134,27 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
         )
     # BENCH_SHUFFLE_FACTOR=k → shuffle_partitions = k×slots.  Default 4:
     # per-page extract cost is heavy-tailed (page size × link count), and
-    # at 1 task/slot the stage time is the straggler's; 4 tasks/slot lets
-    # the scheduler rebalance (measured at local[4]/240k: 218 s → 157 s).
-    # The same 2-4× tasks-per-core sizing is the standard guidance on a
-    # real cluster.  BENCH_AQE_COALESCE=0 → disable AQE post-shuffle
-    # coalescing entirely (diagnostic; the shipped fix is the 16kb
-    # minPartitionSize floor in session.get_spark — see session.py).
-    shuffle_factor = int(os.environ.get("BENCH_SHUFFLE_FACTOR", "4"))
+    # at 1 task/slot the stage time is the straggler's; extra tasks/slot
+    # let the scheduler rebalance (measured at local[4]/240k: 218 s →
+    # 157 s with factor 4).  But over-splitting costs real money when
+    # the per-superstep batch is thin relative to the slot count: at
+    # local[32]/60k, factor 4 (~100 admitted rows/task) measured 20-40%
+    # SLOWER than factor 1 (54.1/53.1 s vs 44.4/43.5/30.2 s crawl, same
+    # workload, comparable host probes) — per-task Arrow/scheduler
+    # overhead dominates once tasks are that skinny.  So the default is
+    # ADAPTIVE on expected rows per slot: one extra task/slot per ~2000
+    # batch rows per slot, clamped to [1, 4].  240k-page scaling legs
+    # (local[1]/local[4]) stay at 4 (unchanged protocol); the
+    # local[32]/60k headline gets 1.  The same sizing rule applies on a
+    # real cluster: tasks-per-core is only worth paying for when each
+    # task still carries thousands of rows.  BENCH_AQE_COALESCE=0 →
+    # disable AQE post-shuffle coalescing entirely (diagnostic; the
+    # shipped fix is the 16kb minPartitionSize floor in
+    # session.get_spark — see session.py).
+    batch = int(os.environ.get("BENCH_BATCH", str(max(4096, n_pages))))
+    shuffle_factor = int(
+        os.environ.get("BENCH_SHUFFLE_FACTOR", str(max(1, min(4, batch // (cpus * 2000)))))
+    )
     if not bool(int(os.environ.get("BENCH_AQE_COALESCE", "1"))):
         extra_conf["spark.sql.adaptive.coalescePartitions.enabled"] = "false"
     if os.environ.get("BENCH_MIN_PART_SIZE"):
@@ -182,7 +196,6 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
     # politeness budgets set above the global budget (throughput mode —
     # the admission fast path proves the per-host cap can't bind and
     # skips its shuffle).
-    batch = int(os.environ.get("BENCH_BATCH", str(max(4096, n_pages))))
     # max_retries=0: synthetic 429/503 pages carry no html and can never
     # succeed, so retry rounds only add drain iterations to the bench.
     # base_budget = 64×global: host_budget shrinks at most ×60 under
