@@ -322,6 +322,82 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_fit(
+    df: DataFrame, k: int, n_iter: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, seed: int = 42,
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means fit for the IVF coarse quantizer
+    (spherical variant: cosine assignment; the mean and the normalized
+    mean point the same direction, so assignments are identical either
+    way and no per-iteration normalize is needed).
+
+    Init is deterministic farthest-point traversal (Gonzalez): the
+    first centroid is the vector with the smallest xxhash64(seed, id)
+    (a seeded pick with no RNG state), then each next centroid is the
+    vector whose cosine to its nearest already-chosen centroid is
+    LOWEST (ties by id) — the deterministic analogue of k-means++
+    that provably seeds one centroid per well-separated cluster,
+    avoiding the split-cluster local optimum a hash-sample init can
+    land in.  Init is k single-pass jobs (a map-side max-sim
+    projection + top-1); for K in the thousands switch to k-means||
+    style oversampling.  Each Lloyd iteration is ONE Spark
+    job with the canonical distributed shape (what MLlib's KMeans
+    does too): map-side nearest-centroid assignment against the
+    literal centroid matrix (`ivf_cells` — zero shuffle), then a
+    single groupBy(cell) with per-dimension avg aggregates (map-side
+    partial agg, k groups), collecting only the k×dim new centroid
+    floats to the driver — model-sized, never corpus-sized.  Empty
+    cells keep their previous centroid.
+
+    Returns [(cell_id, vector), ...] ready for `ivf_cells`/`ivf_topk`."""
+    if dim is None:
+        dim = infer_dim(df, vec_col)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    first = (
+        base.withColumn("_h", F.xxhash64(F.lit(seed), F.col("_id")))
+        .orderBy("_h", "_id")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("k-means fit on an empty table")
+    picked = [[float(x) for x in first[0]["_v"]]]
+    for _ in range(k - 1):
+        max_sim = F.greatest(
+            *[
+                cosine(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
+                for c in picked
+            ]
+        ) if len(picked) > 1 else cosine(
+            F.col("_v"), F.array(*[F.lit(float(x)) for x in picked[0]])
+        )
+        far = (
+            base.select("_id", "_v", max_sim.alias("_ms"))
+            .orderBy("_ms", "_id")
+            .limit(1)
+            .collect()
+        )[0]
+        if far["_ms"] >= 1.0 - 1e-12:
+            raise ValueError(f"k={k} exceeds distinct corpus directions")
+        picked.append([float(x) for x in far["_v"]])
+    cents = [(i, v) for i, v in enumerate(picked)]
+    avg_cols = [
+        F.avg(F.element_at("_v", i + 1).cast("double")).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    for _ in range(n_iter):
+        assigned = base.withColumn(
+            "cell", F.element_at(ivf_cells(F.col("_v"), cents, 1), 1)
+        )
+        new = {
+            int(r["cell"]): [float(r[f"_c{i}"]) for i in range(dim)]
+            for r in assigned.groupBy("cell").agg(*avg_cols).collect()
+        }
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def lsh_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 10, n_planes: int = 8,
     n_probes: int = 1,

@@ -21,7 +21,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.operators.similarity import (
-    collect_centroids, cosine_topk, ivf_cells, ivf_topk,
+    collect_centroids, cosine_topk, ivf_cells, ivf_topk, kmeans_fit,
 )
 
 
@@ -132,6 +132,72 @@ def test_ivf_matches_brute_force_within_probed_cells(spark, sf_dir, planted):
         for r in cosine_topk(corpus, queries, k=k).collect()
     }
     assert ivf == brute
+
+
+@pytest.fixture(scope="module")
+def four_clusters(spark):
+    """4 well-separated clusters around near-orthogonal directions in
+    8-D (tight noise): cosine within-cluster ≈ 0.99, across ≈ 0."""
+    rng = np.random.default_rng(3)
+    dirs = np.eye(8)[:4]
+    rows = []
+    for c in range(4):
+        for j in range(25):
+            v = dirs[c] + 0.05 * rng.standard_normal(8)
+            rows.append((c * 25 + j, v.tolist(), c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, truth int"
+    )
+
+
+def test_kmeans_recovers_separated_clusters(spark, four_clusters):
+    cents = kmeans_fit(four_clusters, k=4, n_iter=4)
+    assert len(cents) == 4
+    assigned = four_clusters.select(
+        "truth", F.element_at(ivf_cells(F.col("embedding"), cents, 1), 1).alias("cell")
+    ).collect()
+    # exact recovery: each true cluster maps to exactly one cell, 1:1
+    mapping = {}
+    for r in assigned:
+        mapping.setdefault(r["truth"], set()).add(r["cell"])
+    cells = [next(iter(s)) for s in mapping.values() if len(s) == 1]
+    assert all(len(s) == 1 for s in mapping.values()), mapping
+    assert len(set(cells)) == 4
+
+
+def test_kmeans_quantizer_end_to_end(spark, four_clusters):
+    # fitted quantizer drives ivf_topk: with separated clusters and
+    # n_probe=1 the approximate result IS the exact brute force.
+    cents = kmeans_fit(four_clusters, k=4, n_iter=4)
+    queries = four_clusters.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = four_clusters.filter(F.col("vec_id") % 25 != 0)
+    ivf = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(corpus, queries, cents, k=3, n_probe=1).collect()
+    }
+    brute = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(corpus, queries, k=3).collect()
+    }
+    assert ivf == brute
+
+
+def test_kmeans_deterministic(spark, four_clusters):
+    a = kmeans_fit(four_clusters, k=4, n_iter=2)
+    b = kmeans_fit(four_clusters, k=4, n_iter=2)
+    assert a == b
+    c = kmeans_fit(four_clusters, k=4, n_iter=2, seed=7)
+    assert [cid for cid, _ in c] == [0, 1, 2, 3]
+
+
+def test_kmeans_k_exceeds_corpus(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=5)
 
 
 def test_ivf_plan_no_cartesian(spark, sf_dir, planted):
