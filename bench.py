@@ -288,7 +288,8 @@ def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
         "pricing_summary", "admission_topk", "region_revenue", "events_hourly",
         "events_sessionize", "dedup_exact", "minhash_signatures", "jaccard_pairs",
         "simhash", "knn_cosine", "lsh_buckets", "lsh_multiprobe",
-        "dedup_embedding", "text_stats", "text_quality",
+        "dedup_embedding", "label_centroid_sim", "ivf_topk", "adaptive_rank",
+        "text_stats", "text_quality",
         "lang_id", "interleaved_spans", "url_canonicalize", "url_scores",
         "media_decode",
     ]

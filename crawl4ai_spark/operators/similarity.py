@@ -43,6 +43,20 @@ def _col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _lit_array(vec: list[float]) -> Column:
+    """A literal array<double> column in ONE expression parse.
+    `F.array(*[F.lit(x) ...])` costs one py4j round trip per element —
+    ~2 s of pure driver time for 10 centroids × 64 dims × 2 call
+    sites — while a single `F.expr` string parse is ~1 ms.  repr() is
+    the shortest round-trip decimal, which the SQL parser reads back
+    to the identical double."""
+    import math
+
+    if not all(math.isfinite(float(x)) for x in vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")")
+
+
 def vec_norm(vec) -> Column:
     v = _col(vec)
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
@@ -191,7 +205,7 @@ def hyperplane_bucket(
 
     def _plane_cols(p: int):
         if mat is not None:
-            return F.array(*[F.lit(w) for w in mat[p]])
+            return _lit_array(mat[p])
         # 1-arg closure on purpose: Spark HOF lambdas with 2 params
         # receive (element, index), which would shadow `p`.
         return F.transform(
@@ -261,7 +275,7 @@ def ivf_cells(vec, centroids: list[tuple[int, list[float]]], n_probe: int = 1) -
     vnorm = vec_norm(v)
     entries = []
     for cid, cvec in centroids:
-        clit = F.array(*[F.lit(float(x)) for x in cvec])
+        clit = _lit_array(cvec)
         cnorm = sum(x * x for x in cvec) ** 0.5
         dot = F.aggregate(
             F.zip_with(v, clit, lambda x, y: x.cast("double") * y),
@@ -365,13 +379,8 @@ def kmeans_fit(
     picked = [[float(x) for x in first[0]["_v"]]]
     for _ in range(k - 1):
         max_sim = F.greatest(
-            *[
-                cosine(F.col("_v"), F.array(*[F.lit(float(x)) for x in c]))
-                for c in picked
-            ]
-        ) if len(picked) > 1 else cosine(
-            F.col("_v"), F.array(*[F.lit(float(x)) for x in picked[0]])
-        )
+            *[cosine(F.col("_v"), _lit_array(c)) for c in picked]
+        ) if len(picked) > 1 else cosine(F.col("_v"), _lit_array(picked[0]))
         far = (
             base.select("_id", "_v", max_sim.alias("_ms"))
             .orderBy("_ms", "_id")
