@@ -294,6 +294,14 @@ def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
         "media_decode",
     ]
     qs = entry_mod.queries()
+    # Warm the session off the clock (scan + tiny agg + one pandas-UDF
+    # round trip): otherwise executor/Arrow/python-worker startup is
+    # charged to whichever query happens to run first (measured ~5 s
+    # on pricing_summary), corrupting per-query attribution.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+    spark.range(1000).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     times: dict[str, float] = {}
     for name in names:
         t0 = time.time()

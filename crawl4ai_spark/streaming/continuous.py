@@ -14,6 +14,11 @@ handling the reference doesn't have.
 `host_politeness_stream`: per-host RateLimiter state as a custom
 STATEFUL streaming operator (applyInPandasWithState) — the always-on
 analogue of the batch engine's host-state dim merge.
+
+`stream_dedup_exact` / `first_seen_stream`: streaming exact
+deduplication — the always-on analogue of the batch hash-groupBy
+dedup (operators/dedup.py), in the two state regimes a production
+pipeline needs (watermark-bounded and TTL-bounded).
 """
 
 from __future__ import annotations
@@ -78,6 +83,81 @@ def fetch_metrics_stream(events: DataFrame, *, window: str = "1 minute",
         )
         .select(F.col("w.start").alias("window_start"), "host",
                 "n_fetches", "n_ok", "n_backoff")
+    )
+
+
+def stream_dedup_exact(
+    docs: DataFrame, *,
+    key=None, ts_col: str = "ts", watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit each content hash's FIRST arrival,
+    drop re-arrivals whose event time falls within the watermark
+    horizon.  `key` defaults to xxhash64(text) — the same 8-byte
+    content hash the batch dedup groups on.
+
+    Scale shape: state is keyed by the hash and EVICTED by the
+    watermark, so the store is bounded by the horizon's arrival
+    volume, not the all-time corpus — the right regime for "recrawl
+    storms repeat a page within minutes/hours".  For an unbounded
+    first-seen set use `first_seen_stream` (explicit TTL), or the
+    batch anti-join against the persisted corpus."""
+    h = key if key is not None else F.xxhash64("text")
+    return (
+        docs.withColumn("content_hash", h)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def first_seen_stream(
+    docs: DataFrame, *,
+    hash_col: str = "content_hash", id_col: str = "doc_id",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Cross-batch first-seen filter: one output row per content hash,
+    ever — the streaming seen-set.  Ties within a micro-batch break by
+    smallest id for determinism.
+
+    Scale shape: the seen marker lives in Spark's per-partition state
+    store keyed by hash (no driver set, no collect); `state_ttl`
+    (processing time) bounds the store for feeds where "seen" may
+    expire.  Without a TTL the store grows with the distinct-hash
+    count — the same O(corpus) a batch seen-set pays, but spread over
+    the state backend."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            if state_ttl is not None:
+                state.setTimeoutDuration(state_ttl)
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf[id_col].idxmin()]
+            if first is None or cand[id_col] < first[id_col]:
+                first = cand
+        if first is None:
+            return
+        state.update((1,))
+        if state_ttl is not None:
+            state.setTimeoutDuration(state_ttl)
+        yield pd.DataFrame([{hash_col: key[0], id_col: first[id_col]}])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if state_ttl is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return docs.groupBy(hash_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{hash_col} long, {id_col} string",
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=timeout,
     )
 
 

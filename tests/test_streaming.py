@@ -111,3 +111,77 @@ def test_host_politeness_stream_state_across_batches(spark, tmp_path):
         ("h2", 4.0, 2, 1, 1),   # bad wins over ok within a batch
         ("h2", 2.0, 0, 1, 0),
     ])
+
+
+def _waves(spark, src, waves, schema):
+    for i, rows in enumerate(waves):
+        p = str(src / f"wave{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+        for root, _dirs, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i, 1_000_000 + i))
+
+
+def test_stream_dedup_exact_within_watermark(spark, tmp_path):
+    """Re-arrivals of the same content within the watermark horizon are
+    dropped across micro-batches; distinct content always passes."""
+    from crawl4ai_spark.streaming.continuous import stream_dedup_exact
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _waves(spark, src, [
+        [("a", "hello world", ts(0)), ("b", "other text", ts(1))],
+        [("c", "hello world", ts(30)),        # dup of a, within horizon
+         ("d", "third text", ts(31))],
+        [("e", "other text", ts(60))],        # dup of b, within horizon
+    ], "doc_id string, text string, ts timestamp")
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    out = stream_dedup_exact(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r.doc_id for r in spark.sql("select doc_id from dedup_t").collect())
+    assert got == ["a", "b", "d"]
+
+
+def test_first_seen_stream_across_batches(spark, tmp_path):
+    """Each content hash is emitted exactly once across micro-batches;
+    within-batch ties break by smallest doc_id."""
+    from crawl4ai_spark.streaming.continuous import first_seen_stream
+
+    src = tmp_path / "hashes"
+    src.mkdir()
+    _waves(spark, src, [
+        [(11, "b"), (11, "a"), (22, "c")],    # tie on 11 -> "a" wins
+        [(11, "d"), (33, "e")],               # 11 already seen
+        [(22, "f"), (33, "g"), (44, "h")],    # 22, 33 seen; 44 new
+    ], "content_hash long, doc_id string")
+
+    stream = (
+        spark.readStream.schema("content_hash long, doc_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    out = first_seen_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("first_seen_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.content_hash, r.doc_id)
+        for r in spark.sql("select * from first_seen_t").collect()
+    )
+    assert got == [(11, "a"), (22, "c"), (33, "e"), (44, "h")]
