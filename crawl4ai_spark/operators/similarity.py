@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -36,6 +36,9 @@ __all__ = [
     "collect_centroids",
     "ivf_cells",
     "ivf_topk",
+    "ivf_write_index",
+    "ivf_search",
+    "kmeans_fit",
 ]
 
 
@@ -326,6 +329,15 @@ def ivf_topk(
     q = queries.withColumn(
         "cell", F.explode(ivf_cells(F.col(query_vec_col), cents, n_probe))
     )
+    return _probe_rerank(c, q, k, id_col, vec_col, query_id_col, query_vec_col)
+
+
+def _probe_rerank(
+    c: DataFrame, q: DataFrame, k: int,
+    id_col: str, vec_col: str, query_id_col: str, query_vec_col: str,
+) -> DataFrame:
+    """Shared IVF tail: broadcast the (exploded) query probes against
+    the cell-assigned corpus, exact-cosine score, top-k per query."""
     joined = c.join(F.broadcast(q), "cell")
     scored = joined.select(
         F.col(query_id_col),
@@ -334,6 +346,63 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_write_index(
+    corpus: DataFrame, centroids: DataFrame | list[tuple[int, list[float]]],
+    path: str, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus with its cell assignment,
+    written PARTITIONED BY cell.  Build once, search many — the
+    production split.  Each cell is its own directory of parquet
+    files, so a search that probes p cells READS only p cells: file
+    listing prunes before a single corpus byte moves.  Append new
+    vectors by writing their assigned cells with mode="append"; the
+    quantizer must stay frozen across appends (same centroid list) or
+    cells lose their meaning — re-fit ⇒ re-index, exactly as in FAISS."""
+    cents = (
+        collect_centroids(centroids, id_col, vec_col)
+        if isinstance(centroids, DataFrame) else sorted(centroids)
+    )
+    (
+        corpus.withColumn(
+            "cell", F.element_at(ivf_cells(F.col(vec_col), cents, 1), 1)
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_search(
+    spark: SparkSession, index_path: str, queries: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    k: int = 10, n_probe: int = 2, *,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k search over a persisted `ivf_write_index` table.
+
+    The probed cell set is computed from the query batch (one
+    model-sized job over the queries — n_queries × n_probe ints) and
+    pushed into the scan as a STATIC partition filter (`cell IN …`),
+    so the parquet source lists and reads only the probed cells'
+    files — at 100 TB the scan cost is O(probed-cell volume), not
+    O(index).  The filter shows up in the plan's PartitionFilters;
+    the no-partitions-beyond-probes property is test-asserted.  The
+    rest is the exact `ivf_topk` tail (broadcast probes → exact
+    cosine → top-k)."""
+    cents = (
+        collect_centroids(centroids, id_col, vec_col)
+        if isinstance(centroids, DataFrame) else sorted(centroids)
+    )
+    q = queries.withColumn(
+        "cell", F.explode(ivf_cells(F.col(query_vec_col), cents, n_probe))
+    )
+    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    c = spark.read.parquet(index_path).filter(F.col("cell").isin(probed))
+    return _probe_rerank(c, q, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def kmeans_fit(
