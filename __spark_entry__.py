@@ -542,6 +542,65 @@ def q_lang_id(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 App. A1.1) — one
+    projection of per-row sorted-array folds; zero shuffle, zero UDF."""
+    from crawl4ai_spark.operators import repetition as R
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = R.gopher_repetition("text")
+    return docs.select(
+        "doc_id",
+        rep["n_lines"].alias("n_lines"),
+        F.round(rep["dup_line_frac"], 6).alias("dup_line_frac"),
+        F.round(rep["dup_line_char_frac"], 6).alias("dup_line_char_frac"),
+        F.round(rep["top_2gram_char_frac"], 6).alias("top_2gram_char_frac"),
+        F.round(rep["top_3gram_char_frac"], 6).alias("top_3gram_char_frac"),
+        F.round(rep["dup_5gram_char_frac"], 6).alias("dup_5gram_char_frac"),
+        F.round(rep["dup_10gram_char_frac"], 6).alias("dup_10gram_char_frac"),
+    ).orderBy("doc_id")
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rule booleans + composite pass."""
+    from crawl4ai_spark.operators import repetition as R
+
+    docs = _t(spark, sf_dir, "documents")
+    q = R.gopher_quality_flags("text")
+    return docs.select(
+        "doc_id",
+        *[q[f].alias(f) for f in (
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+            "ok_stop_words", "passes",
+        )],
+    ).orderBy("doc_id")
+
+
+def q_c4_rules(spark, sf_dir):
+    """C4 line+document gates (Raffel et al. 2020 §2.2)."""
+    from crawl4ai_spark.operators import repetition as R
+
+    docs = _t(spark, sf_dir, "documents")
+    c4 = R.c4_doc_flags("text")
+    return docs.select(
+        "doc_id",
+        *[c4[f].alias(f) for f in (
+            "n_lines", "n_kept_lines", "n_sentences",
+            "has_lorem_ipsum", "has_brace", "keep_doc",
+        )],
+    ).orderBy("doc_id")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup: first (doc_id, pos) occurrence
+    of each normalized paragraph wins; hash-keyed window, no skew."""
+    from crawl4ai_spark.operators.repetition import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_paragraphs(docs).orderBy("doc_id")
+
+
 # ── multimodal plumbing ──────────────────────────────────────────────
 
 def q_media_decode(spark, sf_dir):
@@ -1188,6 +1247,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "gopher_repetition": q_gopher_repetition,
+        "gopher_quality": q_gopher_quality,
+        "c4_rules": q_c4_rules,
+        "paragraph_dedup": q_paragraph_dedup,
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
         "interleaved_spans": q_interleaved_spans,
@@ -1697,6 +1760,155 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS pred_lang,
                    greatest(h_en, h_de, h_fr, h_es) AS sw_hits
             FROM h ORDER BY doc_id
+        """,
+        "gopher_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls,
+                     list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') AS ws
+              FROM documents
+            ), tot AS (
+              SELECT doc_id, len(ls) AS n_lines,
+                     coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS totc
+              FROM base
+            ), lx AS (
+              SELECT doc_id, unnest(ls) AS ln FROM base
+            ), lc AS (
+              SELECT doc_id, ln, count(*) AS c, length(ln) AS chars FROM lx GROUP BY doc_id, ln
+            ), lagg AS (
+              SELECT doc_id, sum(c) AS nl, sum(c) - count(*) AS dupn,
+                     sum((c - 1) * chars) AS dupch, sum(c * chars) AS totch
+              FROM lc GROUP BY doc_id
+            ), g2 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                     j -> array_to_string(list_slice(ws, j, j + 1), ' '))) AS ng FROM base
+            ), c2 AS (
+              SELECT doc_id, ng, count(*) AS c, length(ng) - 1 AS chars FROM g2 GROUP BY doc_id, ng
+            ), t2 AS (SELECT doc_id, max(c) AS maxc FROM c2 GROUP BY doc_id
+            ), top2 AS (
+              SELECT c2.doc_id, CASE WHEN t2.maxc >= 2 THEN t2.maxc * max(c2.chars) ELSE 0 END AS cov
+              FROM c2 JOIN t2 ON c2.doc_id = t2.doc_id AND c2.c = t2.maxc
+              GROUP BY c2.doc_id, t2.maxc
+            ), g3 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                     j -> array_to_string(list_slice(ws, j, j + 2), ' '))) AS ng FROM base
+            ), c3 AS (
+              SELECT doc_id, ng, count(*) AS c, length(ng) - 2 AS chars FROM g3 GROUP BY doc_id, ng
+            ), t3 AS (SELECT doc_id, max(c) AS maxc FROM c3 GROUP BY doc_id
+            ), top3 AS (
+              SELECT c3.doc_id, CASE WHEN t3.maxc >= 2 THEN t3.maxc * max(c3.chars) ELSE 0 END AS cov
+              FROM c3 JOIN t3 ON c3.doc_id = t3.doc_id AND c3.c = t3.maxc
+              GROUP BY c3.doc_id, t3.maxc
+            ), g5 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 4),
+                     j -> array_to_string(list_slice(ws, j, j + 4), ' '))) AS ng FROM base
+            ), c5 AS (
+              SELECT doc_id, ng, count(*) AS c, length(ng) - 4 AS chars FROM g5 GROUP BY doc_id, ng
+            ), d5 AS (
+              SELECT doc_id, sum((c - 1) * chars) AS dup FROM c5 WHERE c > 1 GROUP BY doc_id
+            ), g10 AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 9),
+                     j -> array_to_string(list_slice(ws, j, j + 9), ' '))) AS ng FROM base
+            ), c10 AS (
+              SELECT doc_id, ng, count(*) AS c, length(ng) - 9 AS chars FROM g10 GROUP BY doc_id, ng
+            ), d10 AS (
+              SELECT doc_id, sum((c - 1) * chars) AS dup FROM c10 WHERE c > 1 GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines,
+                   round(coalesce(la.dupn::DOUBLE / la.nl, 0), 6) AS dup_line_frac,
+                   round(coalesce(CASE WHEN la.totch > 0 THEN la.dupch::DOUBLE / la.totch END, 0), 6) AS dup_line_char_frac,
+                   round(coalesce(CASE WHEN t.totc > 0 THEN top2.cov::DOUBLE / t.totc END, 0), 6) AS top_2gram_char_frac,
+                   round(coalesce(CASE WHEN t.totc > 0 THEN top3.cov::DOUBLE / t.totc END, 0), 6) AS top_3gram_char_frac,
+                   round(coalesce(CASE WHEN t.totc > 0 THEN d5.dup::DOUBLE / t.totc END, 0), 6) AS dup_5gram_char_frac,
+                   round(coalesce(CASE WHEN t.totc > 0 THEN d10.dup::DOUBLE / t.totc END, 0), 6) AS dup_10gram_char_frac
+            FROM tot t
+            LEFT JOIN lagg la USING (doc_id)
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id)
+            LEFT JOIN d10 USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "gopher_quality": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls,
+                     list_filter(string_split_regex(trim(text), '\\s+'), w -> w != '') AS ws
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(ws) AS nw,
+                     CASE WHEN len(ws) > 0 THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) ELSE 0.0 END AS mwl,
+                     length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS nsym,
+                     CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•‣▪]')))::DOUBLE / len(ls) ELSE 0.0 END AS bullet,
+                     CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE / len(ls) ELSE 0.0 END AS ell,
+                     CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws) ELSE 0.0 END AS alpha,
+                     len(list_intersect(list_distinct(list_transform(ws, w -> lower(w))),
+                         ['the','be','to','of','and','that','have','with'])) AS stops
+              FROM base
+            )
+            SELECT doc_id,
+                   (nw >= 50 AND nw <= 100000) AS ok_word_count,
+                   (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+                   CASE WHEN nw > 0 THEN nsym::DOUBLE / nw <= 0.1 ELSE FALSE END AS ok_symbol_ratio,
+                   (bullet <= 0.9) AS ok_bullet_lines,
+                   (ell <= 0.3) AS ok_ellipsis_lines,
+                   (alpha >= 0.8) AS ok_alpha_words,
+                   (stops >= 2) AS ok_stop_words,
+                   ((nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+                    AND (CASE WHEN nw > 0 THEN nsym::DOUBLE / nw <= 0.1 ELSE FALSE END)
+                    AND bullet <= 0.9 AND ell <= 0.3 AND alpha >= 0.8 AND stops >= 2) AS passes
+            FROM m ORDER BY doc_id
+        """,
+        "c4_rules": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls,
+                     contains(lower(text), 'lorem ipsum') AS lorem,
+                     contains(text, '{') AS brace
+              FROM documents
+            ), k AS (
+              SELECT doc_id, ls, lorem, brace,
+                     list_filter(ls, l -> regexp_matches(trim(l), '[.!?"”»]$')
+                        AND len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w != '')) >= 3
+                        AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+              FROM base
+            ), s AS (
+              SELECT doc_id, ls, lorem, brace, kept,
+                     len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS n_sent
+              FROM k
+            )
+            SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept_lines,
+                   n_sent AS n_sentences, lorem AS has_lorem_ipsum, brace AS has_brace,
+                   (n_sent >= 5 AND NOT lorem AND NOT brace) AS keep_doc
+            FROM s ORDER BY doc_id
+        """,
+        "paragraph_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls
+              FROM documents
+            ), p AS (
+              SELECT doc_id, unnest(list_transform(ls, (x, i) -> {pos: i - 1, para: x})) AS s
+              FROM d
+            ), r AS (
+              SELECT doc_id, s.pos AS pos, s.para AS para,
+                     row_number() OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(s.para)), '\\s+', ' ', 'g'))
+                       ORDER BY doc_id, s.pos) AS rn
+              FROM p
+            ), a AS (
+              SELECT doc_id, count(*) AS n_paras,
+                     sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                     coalesce(array_to_string(list_transform(
+                       list_sort(list({pos: pos, para: para}) FILTER (WHERE rn = 1)),
+                       s -> s.para), chr(10)), '') AS text_dedup
+              FROM r GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_paras, 0)::INT AS n_paras,
+                   coalesce(a.n_kept, 0)::INT AS n_kept,
+                   coalesce(a.text_dedup, '') AS text_dedup
+            FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id
         """,
         "media_decode": """
             WITH m AS (SELECT 'm' || doc_id::VARCHAR AS media_id, text, md5(text) AS hx FROM documents)
