@@ -331,6 +331,21 @@ def q_jaccard_rare(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup endgame: verified near-dup pairs grouped into
+    connected components, one canonical doc per cluster.  Same cascade
+    parameters as `jaccard_pairs` so the pair graph is the proven one;
+    the component step is distributed min-label propagation (converges
+    in diameter supersteps — near-cliques for LSH dup clusters)."""
+    from crawl4ai_spark.operators.clusters import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(
+        docs, "text", "doc_id", shingle_n=3, num_perm=8, bands=4,
+        rows_per_band=2, threshold=0.12,
+    ).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """32-bit simhash over md5 token hashes (md5 keeps it
     oracle-reproducible; the xxhash64/64-bit variant is
@@ -1237,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_rare": q_jaccard_rare,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "knn_cosine": q_knn_cosine,
         "lsh_buckets": q_lsh_buckets,
@@ -1477,6 +1493,56 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
             WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.12
             ORDER BY a, b
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE w AS (SELECT doc_id, {words} AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
+              FROM w
+            ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            sig AS (
+              SELECT doc_id, perm, min(md5(shingle || '#p' || perm::VARCHAR)) AS minhash
+              FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm)
+              GROUP BY doc_id, perm
+            ), banded AS (
+              SELECT doc_id, perm // 2 AS band,
+                     array_to_string(list_sort(list(minhash)), '|') AS band_key
+              FROM sig GROUP BY doc_id, perm // 2
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM banded x JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+              WHERE x.doc_id < y.doc_id
+            ),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh sx ON sx.doc_id = c.a
+              JOIN sh sy ON sy.doc_id = c.b AND sy.shingle = sx.shingle
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+              WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.12
+            ),
+            sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            comp AS (
+              SELECT d.doc_id,
+                     least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+              GROUP BY d.doc_id
+            ),
+            cs AS (SELECT cluster_id, count(*)::INT AS cluster_size FROM comp GROUP BY cluster_id)
+            SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical, cluster_size
+            FROM comp JOIN cs USING (cluster_id) ORDER BY doc_id
         """,
         "jaccard_rare": f"""
             WITH w AS (SELECT doc_id, {words} AS words FROM documents),
