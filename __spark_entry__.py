@@ -607,6 +607,20 @@ def q_c4_rules(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_cross_doc_dup(spark, sf_dir):
+    """Cross-document duplicated 5-gram spans (Lee et al. 2022 style):
+    occurrence counts travel as 8-byte hashes; two partial-agg
+    groupBys + one keyed join — linear in corpus tokens."""
+    from crawl4ai_spark.operators.repetition import cross_doc_ngram_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        cross_doc_ngram_dup(docs, n=5)
+        .withColumn("dup_gram_char_frac", F.round("dup_gram_char_frac", 6))
+        .orderBy("doc_id")
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Corpus-wide exact paragraph dedup: first (doc_id, pos) occurrence
     of each normalized paragraph wins; hash-keyed window, no skew."""
@@ -1266,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
         "c4_rules": q_c4_rules,
+        "cross_doc_dup": q_cross_doc_dup,
         "paragraph_dedup": q_paragraph_dedup,
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
@@ -1948,6 +1963,37 @@ def oracle_sql() -> dict[str, str]:
                    n_sent AS n_sentences, lorem AS has_lorem_ipsum, brace AS has_brace,
                    (n_sent >= 5 AND NOT lorem AND NOT brace) AS keep_doc
             FROM s ORDER BY doc_id
+        """,
+        "cross_doc_dup": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                                 x -> x != '') AS words
+              FROM documents
+            ), tot AS (
+              SELECT doc_id, coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS wchars
+              FROM w
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 4),
+                     j -> array_to_string(list_slice(words, j, j + 4), ' '))) AS ng
+              FROM w
+            ), pg AS (
+              SELECT doc_id, ng, count(*) AS cnt, length(ng) - 4 AS chars
+              FROM g GROUP BY doc_id, ng
+            ), df AS (
+              SELECT ng, count(*) AS ndocs FROM pg GROUP BY ng
+            ), agg AS (
+              SELECT pg.doc_id,
+                     sum(pg.cnt) AS n_grams,
+                     sum(CASE WHEN df.ndocs >= 2 THEN pg.cnt ELSE 0 END) AS n_dup_grams,
+                     sum(CASE WHEN df.ndocs >= 2 THEN pg.cnt * pg.chars ELSE 0 END) AS dupch
+              FROM pg JOIN df USING (ng) GROUP BY pg.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.n_grams, 0)::INT AS n_grams,
+                   coalesce(a.n_dup_grams, 0)::INT AS n_dup_grams,
+                   round(coalesce(CASE WHEN t.wchars > 0 THEN a.dupch::DOUBLE / t.wchars END, 0), 6) AS dup_gram_char_frac
+            FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
         """,
         "paragraph_dedup": """
             WITH d AS (

@@ -56,11 +56,18 @@ def connected_components(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-    )
-    if vertices is None:
-        vertices = sym.select(F.col("src").alias(id_col)).distinct()
-    labels = vertices.select(F.col(id_col).alias("vid"), F.col(id_col).alias("component"))
-    sym = sym.localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    active = sym.select(F.col("src").alias("vid")).distinct()
+    # Only vertices with an edge iterate: in a dedup corpus the vast
+    # majority of docs are isolated and must not ride (or be shuffled
+    # by) every propagation superstep — they are appended as singleton
+    # components at the end.
+    isolated = None
+    if vertices is not None:
+        isolated = vertices.select(F.col(id_col).alias("vid")).join(
+            active, "vid", "left_anti"
+        )
+    labels = active.select("vid", F.col("vid").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iterations):
@@ -82,6 +89,8 @@ def connected_components(
         labels = stepped.select("vid", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    if isolated is not None:
+        labels = labels.union(isolated.select("vid", F.col("vid").alias("component")))
     return labels.select(F.col("vid").alias(id_col), "component")
 
 

@@ -84,11 +84,28 @@ def _minhash_fn(shingle: Column, perm: int) -> Column:
     return F.md5(F.concat(shingle, F.lit(f"#p{perm}")))
 
 
+def _rebalance(df: DataFrame, key: str) -> DataFrame:
+    """Spread expression-dense per-row work (shingle explode × k
+    hashes) across every core when the upstream scan yielded fewer
+    splits than the session's parallelism — a single small parquet
+    file / lone row group pipelines the whole corpus onto one task
+    otherwise (parquet cannot split below row-group granularity).
+    No-op on well-split inputs: a 100 TB scan already arrives with
+    ≥ cores partitions, so no extra exchange is paid at scale."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key))
+    return df
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 16, shingle_n: int = 3) -> DataFrame:
     """(id, perm, minhash): k permutations per document.  Long layout
     (not a signature array) so banding is a groupBy, not an explode."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sh = _rebalance(df, id_col).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    )
     # One pass over the exploded shingle table: k min-aggregates in a
     # single groupBy (one shuffle), then a narrow stack() unpivot back to
     # the long layout.  (Round 1 unioned num_perm copies of the explode —
@@ -142,7 +159,9 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Intersection counts are always exact over the FULL shingle sets of
     the candidate pairs (candidate-driven double equi-join, bounded by
     |candidates| × shingles-per-doc — never candidates × corpus)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle"))
+    sh = _rebalance(df, id_col).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if candidates is None and max_df is not None:

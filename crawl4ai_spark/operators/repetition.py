@@ -55,6 +55,7 @@ __all__ = [
     "c4_line_keep",
     "c4_clean_text",
     "c4_doc_flags",
+    "cross_doc_ngram_dup",
     "dedup_paragraphs",
     "GOPHER_STOPWORDS",
 ]
@@ -297,6 +298,71 @@ def c4_doc_flags(text, min_sentences: int = 5) -> Column:
         lorem.alias("has_lorem_ipsum"),
         brace.alias("has_brace"),
         ((n_sent >= min_sentences) & ~lorem & ~brace).alias("keep_doc"),
+    )
+
+
+# ── cross-document duplicate n-gram spans ────────────────────────────
+
+def cross_doc_ngram_dup(
+    docs: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-span signal: which of a document's word
+    n-grams also occur in ≥`min_docs`−1 OTHER documents (the 13-gram
+    convention from Lee et al. 2022, 'Deduplicating Training Data
+    Makes Language Models Better' / the CCNet-style shared-span
+    filters).  Per input doc: (id, n_grams, n_dup_grams,
+    dup_gram_char_frac) where the fraction is dup-gram word-chars over
+    the doc's word-chars (occurrence-weighted; same convention as
+    `dup_ngram_char_fraction`).
+
+    Scale shape: one explode to (doc, gram-hash) — linear in corpus
+    tokens — then two partial-agg groupBys ((id, hash) then hash) and
+    one hash-keyed join back.  Grams travel as 8-byte xxhash64 keys,
+    never as strings, so shuffle bytes ≈ 24/row; gram-frequency skew
+    is absorbed by the (id, hash) pre-aggregation (a boilerplate gram
+    repeated across 10^9 docs is one row per doc entering the
+    doc-frequency agg, which map-side combines).
+    """
+    from crawl4ai_spark.operators.dedup import normalize_text
+
+    words = F.filter(F.split(normalize_text(text_col), " "), lambda w: w != F.lit(""))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        words.alias("_ws"),
+    ).select(
+        "_id",
+        F.aggregate("_ws", F.lit(0), lambda a, x: a + F.length(x)).alias("_wchars"),
+        F.explode_outer(_ngrams(F.col("_ws"), n)).alias("_gram"),
+    )
+    # xxhash64(NULL) returns the seed, not NULL — guard the gram-less row
+    gram_hash = F.when(F.col("_gram").isNotNull(), F.xxhash64("_gram"))
+    per_doc_gram = base.groupBy("_id", gram_hash.alias("_h")).agg(
+        F.count("_gram").alias("_cnt"),
+        F.max(F.length("_gram") - (n - 1)).alias("_chars"),
+        F.max("_wchars").alias("_wchars"),
+    )
+    doc_freq = per_doc_gram.filter(F.col("_h").isNotNull()).groupBy("_h").agg(
+        F.count("*").alias("_ndocs")
+    )
+    joined = per_doc_gram.join(doc_freq, "_h", "left")
+    dup = F.col("_ndocs") >= min_docs
+    out = joined.groupBy("_id").agg(
+        F.sum(F.when(F.col("_h").isNotNull(), F.col("_cnt")).otherwise(F.lit(0)))
+        .cast("int").alias("n_grams"),
+        F.sum(F.when(dup, F.col("_cnt")).otherwise(F.lit(0))).cast("int").alias("n_dup_grams"),
+        F.sum(F.when(dup, F.col("_cnt") * F.col("_chars")).otherwise(F.lit(0))).alias("_dupch"),
+        F.max("_wchars").alias("_wchars"),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_dup_grams",
+        F.when(F.col("_wchars") > 0, F.col("_dupch").cast("double") / F.col("_wchars"))
+        .otherwise(F.lit(0.0)).alias("dup_gram_char_frac"),
     )
 
 

@@ -210,3 +210,38 @@ def test_dedup_paragraphs_no_scan_wide_plan(spark):
     # projection feeding the explode must be down to (doc_id, text)
     head, _, leaf = plan.rpartition("+- ")
     assert "extra" not in head and "extra" in leaf
+
+
+# ── cross-document duplicate n-gram spans ────────────────────────────
+
+def test_cross_doc_ngram_dup(spark):
+    shared = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta"),
+            (2, shared + " gamma delta"),
+            (3, "totally distinct text with no shared spans at all"),
+            (4, "tiny"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in R.cross_doc_ngram_dup(docs, n=5).collect()}
+    assert len(out) == 4
+    # docs 1/2 share exactly the 5-gram "one two three four five"
+    assert out[1].n_grams == 3 and out[1].n_dup_grams == 1
+    assert out[2].n_dup_grams == 1
+    # shared gram word-chars = 3+3+5+4+4 = 19; doc 1 word chars = 19+5+4
+    assert out[1].dup_gram_char_frac == pytest.approx(19 / 28)
+    assert out[3].n_dup_grams == 0 and out[3].dup_gram_char_frac == 0.0
+    # fewer words than n → zero grams, rides through
+    assert out[4].n_grams == 0 and out[4].dup_gram_char_frac == 0.0
+
+
+def test_cross_doc_ngram_dup_within_doc_repeat_not_dup(spark):
+    # a gram repeated WITHIN one doc but in no other doc is not cross-doc dup
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e"), (2, "entirely different words here now")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in R.cross_doc_ngram_dup(docs, n=5).collect()}
+    assert out[1].n_dup_grams == 0
