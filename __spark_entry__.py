@@ -630,6 +630,38 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(docs).orderBy("doc_id")
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling: hash-decided, no shuffle,
+    identical output at any parallelism (unlike df.sample)."""
+    from crawl4ai_spark.operators.sampling import hash_u01, stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1}, "doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", F.round(hash_u01("doc_id"), 6).alias("u01")
+    ).orderBy("doc_id")
+
+
+def q_sample_budget(spark, sf_dir):
+    """Token-budget mixing: admit docs per language in hash order until
+    the stratum budget fills — one window per stratum (exact mode)."""
+    from crawl4ai_spark.operators.sampling import budget_sample
+    from crawl4ai_spark.operators.text import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", ws_token_count("text")
+    )
+    out = budget_sample(
+        docs, "lang", "n_tokens", {"en": 2000.0, "de": 1000.0}, "doc_id"
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "cum_weight",
+        F.round("_u01", 6).alias("u01"),
+    ).orderBy("doc_id")
+
+
 # ── multimodal plumbing ──────────────────────────────────────────────
 
 def q_media_decode(spark, sf_dir):
@@ -1282,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "cross_doc_dup": q_cross_doc_dup,
         "paragraph_dedup": q_paragraph_dedup,
+        "sample_stratified": q_sample_stratified,
+        "sample_budget": q_sample_budget,
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
         "interleaved_spans": q_interleaved_spans,
@@ -2021,6 +2055,35 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_kept, 0)::INT AS n_kept,
                    coalesce(a.text_dedup, '') AS text_dedup
             FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id
+        """,
+        "sample_stratified": """
+            WITH u AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u01
+              FROM documents
+            )
+            SELECT doc_id, lang, round(u01, 6) AS u01 FROM u
+            WHERE u01 < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                  WHEN 'fr' THEN 0.1 ELSE 0.0 END
+            ORDER BY doc_id
+        """,
+        "sample_budget": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u01
+              FROM documents
+            ), b AS (
+              SELECT *, CASE lang WHEN 'en' THEN 2000.0 WHEN 'de' THEN 1000.0 END AS budget
+              FROM t WHERE lang IN ('en', 'de')
+            ), c AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY lang ORDER BY u01, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM b
+            )
+            SELECT doc_id, lang, n_tokens, cum AS cum_weight, round(u01, 6) AS u01
+            FROM c WHERE cum - n_tokens < budget ORDER BY doc_id
         """,
         "media_decode": """
             WITH m AS (SELECT 'm' || doc_id::VARCHAR AS media_id, text, md5(text) AS hx FROM documents)
