@@ -630,6 +630,18 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(docs).orderBy("doc_id")
 
 
+def q_curation_report(spark, sf_dir):
+    """The full curation composition: quality flags → exact dedup →
+    near-dup clusters → keep decision, one audit row per doc."""
+    from crawl4ai_spark.operators.curate import curation_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_report(
+        docs, "doc_id", "text", min_tokens=20,
+        shingle_n=3, num_perm=8, bands=4, rows_per_band=2, threshold=0.12,
+    ).orderBy("doc_id")
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language sampling: hash-decided, no shuffle,
     identical output at any parallelism (unlike df.sample)."""
@@ -1314,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "cross_doc_dup": q_cross_doc_dup,
         "paragraph_dedup": q_paragraph_dedup,
+        "curation_report": q_curation_report,
         "sample_stratified": q_sample_stratified,
         "sample_budget": q_sample_budget,
         "media_decode": q_media_decode,
@@ -2055,6 +2068,99 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_kept, 0)::INT AS n_kept,
                    coalesce(a.text_dedup, '') AS text_dedup
             FROM d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id
+        """,
+        "curation_report": f"""
+            WITH RECURSIVE w AS (SELECT doc_id, {words} AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
+              FROM w
+            ), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            sig AS (
+              SELECT doc_id, perm, min(md5(shingle || '#p' || perm::VARCHAR)) AS minhash
+              FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm)
+              GROUP BY doc_id, perm
+            ), banded AS (
+              SELECT doc_id, perm // 2 AS band,
+                     array_to_string(list_sort(list(minhash)), '|') AS band_key
+              FROM sig GROUP BY doc_id, perm // 2
+            ),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM banded x JOIN banded y ON x.band = y.band AND x.band_key = y.band_key
+              WHERE x.doc_id < y.doc_id
+            ),
+            inter AS (
+              SELECT c.a, c.b, count(*) AS i
+              FROM cand c
+              JOIN sh sx ON sx.doc_id = c.a
+              JOIN sh sy ON sy.doc_id = c.b AND sy.shingle = sx.shingle
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT a, b
+              FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
+              WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.12
+            ),
+            sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            comp AS (
+              SELECT d.doc_id,
+                     least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+              FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+              GROUP BY d.doc_id
+            ),
+            cs AS (SELECT cluster_id, count(*)::INT AS cluster_size FROM comp GROUP BY cluster_id),
+            qb AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS ls,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS ws
+              FROM documents
+            ), qm AS (
+              SELECT doc_id,
+                     len(ws) AS nw,
+                     CASE WHEN len(ws) > 0 THEN list_sum(list_transform(ws, x -> length(x)))::DOUBLE / len(ws) ELSE 0.0 END AS mwl,
+                     length(text) - length(replace(text, '#', '')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS nsym,
+                     CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•‣▪]')))::DOUBLE / len(ls) ELSE 0.0 END AS bullet,
+                     CASE WHEN len(ls) > 0 THEN len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))::DOUBLE / len(ls) ELSE 0.0 END AS ell,
+                     CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w2 -> regexp_matches(w2, '[A-Za-z]')))::DOUBLE / len(ws) ELSE 0.0 END AS alpha,
+                     len(list_intersect(list_distinct(list_transform(ws, w2 -> lower(w2))),
+                         ['the','be','to','of','and','that','have','with'])) AS stops,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     len(regexp_extract_all(coalesce(array_to_string(
+                       list_filter(ls, l -> regexp_matches(trim(l), '[.!?"”»]$')
+                          AND len(list_filter(string_split_regex(trim(l), '\\s+'), w2 -> w2 != '')) >= 3
+                          AND NOT contains(lower(trim(l)), 'javascript')), chr(10)), ''), '[.!?]')) AS n_sent,
+                     contains(lower(text), 'lorem ipsum') AS lorem,
+                     contains(text, '{{') AS brace,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS chash
+              FROM qb
+            ), ex AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY chash ORDER BY doc_id) = 1 AS exact_canonical
+              FROM qm
+            )
+            SELECT q.doc_id, q.n_tokens::INT AS n_tokens,
+                   (q.n_tokens >= 20) AS ok_len,
+                   ((q.nw >= 50 AND q.nw <= 100000) AND (q.mwl >= 3.0 AND q.mwl <= 10.0)
+                    AND (CASE WHEN q.nw > 0 THEN q.nsym::DOUBLE / q.nw <= 0.1 ELSE FALSE END)
+                    AND q.bullet <= 0.9 AND q.ell <= 0.3 AND q.alpha >= 0.8 AND q.stops >= 2) AS gopher_passes,
+                   (q.n_sent >= 5 AND NOT q.lorem AND NOT q.brace) AS c4_keep,
+                   ex.exact_canonical,
+                   comp.cluster_id, cs.cluster_size,
+                   (q.doc_id = comp.cluster_id) AS neardup_canonical,
+                   ((q.n_tokens >= 20) AND ex.exact_canonical AND q.doc_id = comp.cluster_id) AS kept
+            FROM qm q
+            JOIN ex USING (doc_id)
+            JOIN comp ON comp.doc_id = q.doc_id
+            JOIN cs USING (cluster_id)
+            ORDER BY q.doc_id
         """,
         "sample_stratified": """
             WITH u AS (
