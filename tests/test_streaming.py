@@ -185,3 +185,51 @@ def test_first_seen_stream_across_batches(spark, tmp_path):
         for r in spark.sql("select * from first_seen_t").collect()
     )
     assert got == [(11, "a"), (22, "c"), (33, "e"), (44, "h")]
+
+
+def test_stream_quality_signals_stateless(spark, tmp_path):
+    """The curation signals (Gopher repetition/quality, C4 gates, text
+    quality) are pure Catalyst projections, so they must run unchanged
+    over a stream — no state store, no watermark, append mode."""
+    from crawl4ai_spark.operators import repetition as R
+    from crawl4ai_spark.operators import text as T
+
+    rows = [
+        ("a", "the cat sat on the mat. the cat sat on the mat."),
+        ("b", "- bullet\n- bullet\nplain line here."),
+    ]
+
+    def signals(df):
+        return df.select(
+            "doc_id",
+            R.gopher_repetition("text")["dup_line_frac"].alias("dup_line_frac"),
+            R.gopher_quality_flags("text")["passes"].alias("gopher_passes"),
+            R.c4_doc_flags("text")["keep_doc"].alias("c4_keep"),
+            F.round(T.quality_score("text"), 6).alias("quality"),
+        )
+
+    src = tmp_path / "qdocs"
+    src.mkdir()
+    _waves(spark, src, [[rows[0]], [rows[1]]], "doc_id string, text string")
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    q = (
+        signals(stream).writeStream.format("memory").queryName("quality_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id: r for r in spark.sql("select * from quality_t").collect()}
+    assert set(got) == {"a", "b"}
+    # batch ≡ stream on the same rows
+    batch = {
+        r.doc_id: r
+        for r in signals(
+            spark.createDataFrame(rows, "doc_id string, text string")
+        ).collect()
+    }
+    for k in got:
+        assert got[k] == batch[k]
