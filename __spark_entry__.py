@@ -425,6 +425,33 @@ def q_dedup_embedding(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Near-dup clustering in embedding space: the cosine_dup_pairs
+    graph (same params as `dedup_embedding`) grouped into connected
+    components — proof the cluster-assembly step composes across
+    modalities (text shingles AND embedding buckets)."""
+    from crawl4ai_spark.operators.clusters import connected_components
+    from crawl4ai_spark.operators.similarity import cosine_dup_pairs, infer_dim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(emb, threshold=0.3, n_planes=6, plane_fn="md5",
+                             dim=infer_dim(emb))
+    comp = connected_components(
+        pairs.select("a", "b"), emb.select(F.col("vec_id").alias("id"))
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").cast("int").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+            "cluster_size",
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket histogram; planes derived from md5
     so the oracle re-derives identical buckets (matrix driver-derived
@@ -1316,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "lsh_multiprobe": q_lsh_multiprobe,
         "dedup_embedding": q_dedup_embedding,
+        "embedding_clusters": q_embedding_clusters,
         "label_centroid_sim": q_label_centroid_sim,
         "ivf_topk": q_ivf_topk,
         "text_stats": q_text_stats,
@@ -1704,6 +1732,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(cos_raw, 6) AS cos_sim, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "embedding_clusters": """
+            WITH RECURSIVE b AS (
+              SELECT vec_id, embedding,
+                list_sum(list_transform(generate_series(0, 5), p ->
+                  CASE WHEN
+                    list_sum(list_transform(generate_series(1, len(embedding)), i ->
+                      embedding[i]::DOUBLE *
+                      (CASE WHEN substr(md5(p::VARCHAR || '_' || (i-1)::VARCHAR), 1, 1)
+                            IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END)))
+                    > 0
+                  THEN 1 << p ELSE 0 END))::BIGINT AS bucket
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT l.vec_id AS a, r.vec_id AS b,
+                list_sum(list_transform(generate_series(1, len(l.embedding)),
+                         i -> l.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(generate_series(1, len(l.embedding)),
+                         i -> l.embedding[i]::DOUBLE * l.embedding[i]::DOUBLE)))
+                 * sqrt(list_sum(list_transform(generate_series(1, len(r.embedding)),
+                         i -> r.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)))) AS cos_raw
+              FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            ),
+            edges AS (SELECT a, b FROM pairs WHERE cos_raw >= 0.3),
+            sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+            reach(u, v) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+            ),
+            comp AS (
+              SELECT e.vec_id,
+                     least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS cluster_id
+              FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+              GROUP BY e.vec_id
+            ),
+            cs AS (SELECT cluster_id, count(*)::INT AS cluster_size FROM comp GROUP BY cluster_id)
+            SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical, cluster_size
+            FROM comp JOIN cs USING (cluster_id) ORDER BY vec_id
         """,
         "dedup_embedding": """
             WITH b AS (
