@@ -196,6 +196,29 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_brand_revenue(spark, sf_dir):
+    """Promo-share-by-brand shape (TPC-H Q14 family): fact ⨝ two
+    broadcast dims, conditional aggregate — closes `part` coverage."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    dec = lambda c: F.col(c).cast("decimal(14,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(14,2)") - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.sum(F.when(F.col("p_size") >= 25, rev).otherwise(F.lit(0).cast("decimal(14,2)")))
+            .cast("double").alias("large_part_revenue"),
+            F.countDistinct("s_suppkey").cast("int").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def q_order_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
@@ -1327,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "admission_topk": q_admission_topk,
         "region_revenue": q_region_revenue,
+        "brand_revenue": q_brand_revenue,
         "order_priority": q_order_priority,
         "events_hourly": q_events_hourly,
         "events_sessionize": q_events_sessionize,
@@ -1455,6 +1479,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice, host_rank
             FROM ranked WHERE host_rank <= 2
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   sum(l_extendedprice::DECIMAL(14,2) * (1::DECIMAL(14,2) - l_discount::DECIMAL(14,2)))::DOUBLE AS revenue,
+                   sum(CASE WHEN p_size >= 25
+                       THEN l_extendedprice::DECIMAL(14,2) * (1::DECIMAL(14,2) - l_discount::DECIMAL(14,2))
+                       ELSE 0::DECIMAL(14,2) END)::DOUBLE AS large_part_revenue,
+                   count(DISTINCT s_suppkey)::INT AS n_suppliers,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY p_brand ORDER BY p_brand
         """,
         "region_revenue": """
             SELECT r_name,
