@@ -105,8 +105,18 @@ def main() -> None:
             [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         )
     eff = round((results[16]["docs_per_sec"] / results[4]["docs_per_sec"]) / 4.0, 3)
+    # probe-normalized: divide each leg's throughput by its own host
+    # probe, cancelling ambient host drift between the legs (the same
+    # normalization the crawl-loop record uses)
+    eff_norm = None
+    p4, p16 = results[4]["host_probe_mops"], results[16]["host_probe_mops"]
+    if p4 and p16:
+        eff_norm = round(
+            (results[16]["docs_per_sec"] / p16) / (results[4]["docs_per_sec"] / p4) / 4.0, 3
+        )
     print(json.dumps({"metric": "dedup_cascade_scaling_efficiency_4_to_16",
-                      "value": eff, "local4": results[4], "local16": results[16]}))
+                      "value": eff, "probe_normalized": eff_norm,
+                      "local4": results[4], "local16": results[16]}))
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "a") as f:
         f.write(
@@ -118,7 +128,8 @@ def main() -> None:
             "|---|---|---|---|---|---|\n"
             f"| local[4]  | {results[4]['docs']} | {results[4]['pairs']} | {results[4]['cascade_sec']} | {results[4]['docs_per_sec']} | {results[4]['host_probe_mops']} |\n"
             f"| local[16] | {results[16]['docs']} | {results[16]['pairs']} | {results[16]['cascade_sec']} | {results[16]['docs_per_sec']} | {results[16]['host_probe_mops']} |\n\n"
-            f"**Dedup-cascade scaling efficiency (T16/T4)/4 = {eff}**\n"
+            f"**Dedup-cascade scaling efficiency (T16/T4)/4 = {eff}**"
+            + (f" (probe-normalized: **{eff_norm}**)\n" if eff_norm is not None else "\n")
         )
 
 
