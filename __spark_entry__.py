@@ -680,6 +680,67 @@ def q_paragraph_dedup(spark, sf_dir):
     return dedup_paragraphs(docs).orderBy("doc_id")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (per-doc assignment): sharded deterministic
+    token streams cut every 512 tokens; one window per hash bucket."""
+    from crawl4ai_spark.operators.packing import pack_sequences
+    from crawl4ai_spark.operators.text import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, n_buckets=8).orderBy(
+        "doc_id"
+    )
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-sequence packing summary (docs started, token mass, fill)."""
+    from crawl4ai_spark.operators.packing import pack_sequences, pack_summary
+    from crawl4ai_spark.operators.text import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, n_buckets=8)
+    return pack_summary(packed, seq_len=512).orderBy("seq_id")
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII detect + redact over deterministically planted contact
+    strings (the corpus itself is word soup with no PII)."""
+    from crawl4ai_spark.operators.pii import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 ok"),
+    )
+    docs = docs.withColumn("_suffix", planted).withColumn(
+        "_full", F.concat(F.col("text"), F.lit(" "), F.col("_suffix"))
+    )
+    c = pii_counts(F.col("_full"))
+    return docs.select(
+        "doc_id",
+        c["n_email"].alias("n_email"),
+        c["n_ip"].alias("n_ip"),
+        c["n_phone"].alias("n_phone"),
+        redact_pii(F.col("_suffix")).alias("redacted_suffix"),
+    ).orderBy("doc_id")
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Corpus vocabulary head: top-50 words, rank, cumulative coverage."""
+    from crawl4ai_spark.operators.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", top_k=50).orderBy("rank")
+
+
 def q_curation_report(spark, sf_dir):
     """The full curation composition: quality flags → exact dedup →
     near-dup clusters → keep decision, one audit row per doc."""
@@ -1379,6 +1440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_dup": q_cross_doc_dup,
         "paragraph_dedup": q_paragraph_dedup,
         "curation_report": q_curation_report,
+        "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
+        "pii_redact": q_pii_redact,
+        "vocab_coverage": q_vocab_coverage,
         "sample_stratified": q_sample_stratified,
         "sample_budget": q_sample_budget,
         "media_decode": q_media_decode,
@@ -2266,6 +2331,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN comp ON comp.doc_id = q.doc_id
             JOIN cs USING (cluster_id)
             ORDER BY q.doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u01,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 8)::INT AS bucket
+              FROM documents
+            ), c AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY u01, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, bucket, (cum - n_tokens) AS start_offset,
+                   bucket::BIGINT * 4294967296 + ((cum - n_tokens) // 512) AS seq_id,
+                   n_tokens
+            FROM c ORDER BY doc_id
+        """,
+        "pack_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u01,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT % 8)::INT AS bucket
+              FROM documents
+            ), c AS (
+              SELECT *, sum(n_tokens) OVER (
+                PARTITION BY bucket ORDER BY u01, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            ), p AS (
+              SELECT bucket::BIGINT * 4294967296 + ((cum - n_tokens) // 512) AS seq_id,
+                     n_tokens
+              FROM c
+            )
+            SELECT seq_id, count(*)::INT AS n_docs, sum(n_tokens) AS tokens_started,
+                   round(sum(n_tokens) / 512.0, 6) AS fill_ratio
+            FROM p GROUP BY seq_id ORDER BY seq_id
+        """,
+        "pii_redact": """
+            WITH p AS (
+              SELECT doc_id, text,
+                     'contact user' || doc_id::VARCHAR || '@example.com at 10.0.' ||
+                     (doc_id % 256)::VARCHAR || '.7 or 555-' ||
+                     lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234 ok' AS sfx
+              FROM documents
+            ), f AS (
+              SELECT doc_id, sfx, text || ' ' || sfx AS t0 FROM p
+            ), r1 AS (
+              SELECT doc_id, sfx,
+                     len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM f
+            ), r2 AS (
+              SELECT doc_id, sfx, n_email,
+                     len(regexp_extract_all(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+                     regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+              FROM r1
+            ), r3 AS (
+              SELECT doc_id, sfx, n_email, n_ip,
+                     len(regexp_extract_all(t2, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b')) AS n_phone
+              FROM r2
+            )
+            SELECT doc_id, n_email, n_ip, n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(sfx,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+                     '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g') AS redacted_suffix
+            FROM r3 ORDER BY doc_id
+        """,
+        "vocab_coverage": """
+            WITH w AS (
+              SELECT unnest(list_filter(string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                x -> x != '')) AS word
+              FROM documents
+            ), c AS (
+              SELECT word, count(*) AS cnt FROM w GROUP BY word
+            ), tot AS (SELECT sum(cnt) AS total FROM c),
+            k AS (
+              SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+              FROM c QUALIFY rank <= 50
+            ), s AS (
+              SELECT word, cnt, rank,
+                     sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum
+              FROM k
+            )
+            SELECT word, cnt, rank::INT AS rank,
+                   round(cum / (SELECT total FROM tot), 6) AS coverage
+            FROM s ORDER BY rank
         """,
         "sample_stratified": """
             WITH u AS (

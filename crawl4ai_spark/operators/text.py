@@ -22,6 +22,7 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint",
+    "vocab_coverage",
     "STOPWORDS",
 ]
 
@@ -132,6 +133,44 @@ def lang_id(text) -> Column:
             F.when(take, hits).otherwise(best_hits),
         )
     return F.struct(best_lang.alias("lang"), best_hits.alias("hits"))
+
+
+def vocab_coverage(df, text_col: str = "text", top_k: int = 50):
+    """Corpus vocabulary head: the top_k most frequent (normalized)
+    words with rank and cumulative corpus coverage — the stats a
+    tokenizer/vocab decision reads off a corpus.
+
+    Shapes: one explode + one word-keyed count (map-side combined),
+    then a distributed top-k (TakeOrderedAndProject — never a global
+    sort of the vocab); the unpartitioned rank/cumsum window runs on
+    the ≤ top_k surviving rows only, so it is bounded at any corpus
+    size.  Ties break lexicographically for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "),
+        lambda w: w != F.lit(""),
+    )
+    counts = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    topk = counts.orderBy(F.desc("cnt"), "word").limit(top_k)
+    w = Window.orderBy(F.desc("cnt"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        topk.withColumn("rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "word")))
+        .withColumn("_cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word", "cnt", "rank",
+            F.round(F.col("_cum") / F.col("_total"), 6).alias("coverage"),
+        )
+    )
 
 
 def fingerprint(text) -> Column:
