@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_clusters"]
 
+from itertools import count as _count
+
+_CC_EPOCH = _count()
+
 
 def connected_components(
     edges: DataFrame,
@@ -70,24 +74,33 @@ def connected_components(
     labels = active.select("vid", F.col("vid").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    from itertools import count as _counter
+
+    from pyspark.sql import Observation
+
+    epoch = next(_CC_EPOCH)
+    for it in range(max_iterations):
         nbr_min = (
             labels.join(sym, labels["vid"] == sym["src"])
             .groupBy("dst")
             .agg(F.min("component").alias("nbr_min"))
         )
-        stepped = (
-            labels.join(nbr_min, labels["vid"] == nbr_min["dst"], "left")
-            .select(
-                "vid",
-                "component",
-                F.least("component", F.coalesce("nbr_min", "component")).alias("new_component"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = labels.join(nbr_min, labels["vid"] == nbr_min["dst"], "left").select(
+            "vid",
+            "component",
+            F.least("component", F.coalesce("nbr_min", "component")).alias("new_component"),
         )
-        changed = stepped.filter(F.col("new_component") < F.col("component")).count()
+        # the convergence check rides the checkpoint job as an observe()
+        # metric — one Spark job per superstep, not two (same pattern as
+        # the crawl engine's superstep counters)
+        obs = Observation(f"cc_{epoch}_{it}")
+        stepped = stepped.observe(
+            obs,
+            F.sum((F.col("new_component") < F.col("component")).cast("long")).alias("changed"),
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"]
         labels = stepped.select("vid", F.col("new_component").alias("component"))
-        if changed == 0:
+        if not changed:
             break
     if isolated is not None:
         labels = labels.union(isolated.select("vid", F.col("vid").alias("component")))
