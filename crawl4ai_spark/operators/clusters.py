@@ -74,8 +74,6 @@ def connected_components(
     labels = active.select("vid", F.col("vid").alias("component"))
     labels = labels.localCheckpoint(eager=True)
 
-    from itertools import count as _counter
-
     from pyspark.sql import Observation
 
     epoch = next(_CC_EPOCH)
