@@ -856,6 +856,83 @@ def q_interleaved_spans(spark, sf_dir):
     ).orderBy("doc_id", "offset")
 
 
+def _interleaved_table(spark, sf_dir):
+    """documents → the engine's native payload shape (input_hint):
+    (doc_id, spans: array<struct<kind,text,media_ref,offset>>), with a
+    media span after every 3rd 10-word chunk.  Media refs are keyed by
+    doc_id % 50 so assets are SHARED across documents (realistic for
+    manifest/dedup shapes)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    words = F.filter(F.split(norm, " "), lambda w: w != F.lit(""))
+    n_chunks = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.concat_ws(" ", F.slice(words, j * 10 + 1, 10)),
+    )
+    bare = F.flatten(
+        F.transform(
+            chunks,
+            lambda c, j: F.when(
+                j % 3 == 2,
+                F.array(
+                    F.struct(F.lit("text").alias("kind"), c.alias("text"),
+                             F.lit("").alias("media_ref")),
+                    F.struct(
+                        F.lit("media").alias("kind"), F.lit("").alias("text"),
+                        F.concat(F.lit("/img/"), (F.col("doc_id") % 50).cast("string"),
+                                 F.lit("-"), j.cast("string")).alias("media_ref"),
+                    ),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.lit("text").alias("kind"), c.alias("text"),
+                                 F.lit("").alias("media_ref")))
+            ),
+        )
+    )
+    spans = F.transform(
+        bare,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"), s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"), i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+def q_render_training(spark, sf_dir):
+    """Interleaved span docs → one training string per doc with
+    <|image|> placeholders + media refs in placeholder order."""
+    from crawl4ai_spark.operators.interleaved import render_for_training
+
+    docs = _interleaved_table(spark, sf_dir)
+    r = render_for_training("spans")
+    return docs.select(
+        "doc_id", r["text"].alias("training_text"), r["media_refs"].alias("media_refs")
+    ).orderBy("doc_id")
+
+
+def q_span_integrity(spark, sf_dir):
+    """Span-document data-quality gate over the interleaved table."""
+    from crawl4ai_spark.operators.interleaved import span_integrity
+
+    docs = _interleaved_table(spark, sf_dir)
+    s = span_integrity("spans")
+    return docs.select(
+        "doc_id",
+        *[s[f].alias(f) for f in ("n_spans", "n_text", "n_media", "text_chars", "offsets_ok")],
+    ).orderBy("doc_id")
+
+
+def q_media_manifest(spark, sf_dir):
+    """Corpus-wide media-asset manifest: shared refs aggregate across
+    documents (the fetch/embed-each-asset-once join key)."""
+    from crawl4ai_spark.operators.interleaved import media_manifest
+
+    docs = _interleaved_table(spark, sf_dir)
+    return media_manifest(docs).orderBy("media_ref")
+
+
 # ── extended extraction surface (E9/E10/E12, A6, A8, S3) ─────────────
 
 def q_regex_entities(spark, sf_dir):
@@ -1449,6 +1526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
         "interleaved_spans": q_interleaved_spans,
+        "render_training": q_render_training,
+        "span_integrity": q_span_integrity,
+        "media_manifest": q_media_manifest,
         "regex_entities": q_regex_entities,
         "window_chunks": q_window_chunks,
         "table_extract": q_table_extract,
@@ -2662,6 +2742,73 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(url, '^https?://([^/]*\\.)?example\\.test(/|$)')
               AND url LIKE '%/en/%'
             ORDER BY url
+        """,
+        "render_training": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, cast(ceil(len(words) / 10.0) AS INT) - 1),
+                       j -> {{'j': j, 'chunk': array_to_string(words[j*10+1 : j*10+10], ' ')}}) AS chunks
+              FROM w
+            ), sp AS (
+              SELECT doc_id,
+                     flatten(list_transform(chunks, s ->
+                       CASE WHEN s.j % 3 = 2 THEN
+                         [{{'kind': 'text', 'text': s.chunk, 'media_ref': ''}},
+                          {{'kind': 'media', 'text': '', 'media_ref': '/img/' || (doc_id % 50)::VARCHAR || '-' || s.j::VARCHAR}}]
+                       ELSE [{{'kind': 'text', 'text': s.chunk, 'media_ref': ''}}] END)) AS spans
+              FROM ch
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(spans,
+                     s -> CASE WHEN s.kind = 'text' THEN s.text ELSE '<|image|>' END), ' ') AS training_text,
+                   list_transform(list_filter(spans, s -> s.kind = 'media'),
+                                  s -> s.media_ref) AS media_refs
+            FROM sp ORDER BY doc_id
+        """,
+        "span_integrity": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, cast(ceil(len(words) / 10.0) AS INT) - 1),
+                       j -> {{'j': j, 'chunk': array_to_string(words[j*10+1 : j*10+10], ' ')}}) AS chunks
+              FROM w
+            ), sp AS (
+              SELECT doc_id,
+                     flatten(list_transform(chunks, s ->
+                       CASE WHEN s.j % 3 = 2 THEN
+                         [{{'kind': 'text', 'text': s.chunk, 'media_ref': ''}},
+                          {{'kind': 'media', 'text': '', 'media_ref': '/img/' || (doc_id % 50)::VARCHAR || '-' || s.j::VARCHAR}}]
+                       ELSE [{{'kind': 'text', 'text': s.chunk, 'media_ref': ''}}] END)) AS spans
+              FROM ch
+            )
+            SELECT doc_id, len(spans)::INT AS n_spans,
+                   len(list_filter(spans, s -> s.kind = 'text'))::INT AS n_text,
+                   len(list_filter(spans, s -> s.kind = 'media'))::INT AS n_media,
+                   coalesce(list_sum(list_transform(spans,
+                     s -> CASE WHEN s.kind = 'text' THEN length(s.text) ELSE 0 END)), 0)::INT AS text_chars,
+                   TRUE AS offsets_ok
+            FROM sp ORDER BY doc_id
+        """,
+        "media_manifest": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            ch AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, cast(ceil(len(words) / 10.0) AS INT) - 1),
+                       j -> {{'j': j, 'chunk': array_to_string(words[j*10+1 : j*10+10], ' ')}}) AS chunks
+              FROM w
+            ), sp AS (
+              SELECT doc_id,
+                     flatten(list_transform(chunks, s ->
+                       CASE WHEN s.j % 3 = 2 THEN
+                         ['/img/' || (doc_id % 50)::VARCHAR || '-' || s.j::VARCHAR]
+                       ELSE [] END)) AS refs
+              FROM ch
+            ), m AS (
+              SELECT doc_id, unnest(refs) AS media_ref FROM sp
+            )
+            SELECT media_ref, count(DISTINCT doc_id)::INT AS n_docs, count(*)::INT AS n_uses
+            FROM m GROUP BY media_ref ORDER BY media_ref
         """,
         "interleaved_spans": f"""
             WITH w AS (SELECT doc_id, {words} AS words FROM documents),
