@@ -109,6 +109,36 @@ def stream_dedup_exact(
     )
 
 
+def stream_dedup_paragraphs(
+    docs: DataFrame, *,
+    id_col: str = "doc_id", text_col: str = "text",
+    ts_col: str = "ts", watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming paragraph dedup: explode documents into normalized
+    paragraphs and emit each paragraph's FIRST arrival within the
+    watermark horizon — the incremental form of the batch
+    `dedup_paragraphs` (which keeps the first (doc, pos) occurrence
+    corpus-wide).  Output: (id, pos, para, ts) of surviving paragraphs;
+    reassembly is a downstream groupBy, exactly as in batch.
+
+    Same state regime as `stream_dedup_exact`: keyed by the 16-byte
+    paragraph hash, evicted by the watermark, so the store tracks the
+    horizon's paragraph volume — boilerplate repeated across a recrawl
+    storm deduplicates without unbounded state."""
+    from crawl4ai_spark.operators.repetition import split_lines
+
+    paras = docs.select(
+        F.col(id_col), F.col(ts_col),
+        F.posexplode(split_lines(text_col)).alias("pos", "para"),
+    )
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " "))
+    return (
+        paras.withColumn("para_hash", norm)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["para_hash"])
+    )
+
+
 def first_seen_stream(
     docs: DataFrame, *,
     hash_col: str = "content_hash", id_col: str = "doc_id",

@@ -233,3 +233,44 @@ def test_stream_quality_signals_stateless(spark, tmp_path):
     }
     for k in got:
         assert got[k] == batch[k]
+
+
+def test_stream_dedup_paragraphs(spark, tmp_path):
+    """First arrival of each normalized paragraph survives; later
+    re-arrivals (same or other docs) are dropped within the horizon."""
+    from crawl4ai_spark.streaming.continuous import stream_dedup_paragraphs
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    src = tmp_path / "pdocs"
+    src.mkdir()
+    _waves(spark, src, [
+        [("a", "alpha para.\nshared boilerplate.", ts(0))],
+        [("b", "SHARED   boilerplate.\nbeta para.", ts(30))],   # normalized dup
+        [("c", "gamma para.\nalpha para.", ts(60))],             # dup of a's first
+    ], "doc_id string, text string, ts timestamp")
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    out = stream_dedup_paragraphs(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("para_dedup_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.doc_id, r.para)
+        for r in spark.sql("select doc_id, para from para_dedup_t").collect()
+    )
+    assert got == [
+        ("a", "alpha para."),
+        ("a", "shared boilerplate."),
+        ("b", "beta para."),
+        ("c", "gamma para."),
+    ]
