@@ -785,6 +785,26 @@ def q_sample_budget(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_quality_quantiles(spark, sf_dir):
+    """Per-language quality distribution (exact interpolated
+    percentiles — the corpus-health dashboard numbers; at 100 TB the
+    same query swaps percentile → percentile_approx, same plan shape)."""
+    from crawl4ai_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("lang", quality_score("text").alias("q"))
+    return (
+        q.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("q", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("q", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.avg("q"), 6).alias("mean_q"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ── multimodal plumbing ──────────────────────────────────────────────
 
 def q_media_decode(spark, sf_dir):
@@ -1511,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
         "c4_rules": q_c4_rules,
@@ -2138,6 +2159,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS pred_lang,
                    greatest(h_en, h_de, h_fr, h_es) AS sw_hits
             FROM h ORDER BY doc_id
+        """,
+        "quality_quantiles": """
+            WITH w AS (
+              SELECT doc_id, lang, text,
+                     list_filter(string_split_regex(lower(text), '[^a-zA-Zà-ÿä-üá-ú]+'), x -> x != '') AS lw,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS words
+              FROM documents
+            ), m AS (
+              SELECT doc_id, lang, text, words,
+                     CASE WHEN len(lw) > 0 THEN
+                       len(list_filter(lw, x -> x IN ('the','and','of','to','in','is','that','it','for','with','was','on')))::DOUBLE / len(lw)
+                     ELSE 0.0 END AS swr,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(words) > 0
+                          THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+                          ELSE 0.0 END AS mwl
+              FROM w
+            ), qv AS (
+              SELECT lang,
+                     0.3 * (CASE WHEN length(text) >= 200 THEN 1.0 WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN swr >= 0.2 THEN 1.0 WHEN swr >= 0.08 THEN 0.5 ELSE 0.0 END)
+                   + 0.2 * greatest(0.0, 1.0 - greatest(0.0, (pr - 0.15) * 4))
+                   + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) AS q
+              FROM m
+            )
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(q, 0.5), 6) AS p50,
+                   round(quantile_cont(q, 0.9), 6) AS p90,
+                   round(avg(q), 6) AS mean_q
+            FROM qv GROUP BY lang ORDER BY lang
         """,
         "gopher_repetition": """
             WITH base AS (
