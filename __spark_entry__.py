@@ -785,6 +785,28 @@ def q_sample_budget(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_pagerank(spark, sf_dir):
+    """Distributed PageRank (3 fixed power iterations, d=0.85) over a
+    deterministic synthetic link graph (each doc links to two modular
+    neighbors) — the graph signal a frontier prioritizer adds on top of
+    intrinsic URL scores."""
+    from crawl4ai_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst")
+    ).union(
+        docs.select(
+            F.col("doc_id").alias("src"), ((F.col("doc_id") * 3 + 2) % n).alias("dst")
+        )
+    )
+    pr = pagerank(edges, docs.select(F.col("doc_id").alias("id")), n_iter=3)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality distribution (exact interpolated
     percentiles — the corpus-health dashboard numbers; at 100 TB the
@@ -1531,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "pagerank": q_pagerank,
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
@@ -2159,6 +2182,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS pred_lang,
                    greatest(h_en, h_de, h_fr, h_es) AS sw_hits
             FROM h ORDER BY doc_id
+        """,
+        "pagerank": """
+            WITH d AS (SELECT doc_id FROM documents),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+            nc AS (SELECT count(*) AS c FROM d),
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT c FROM nc) AS dst FROM d
+              UNION ALL
+              SELECT doc_id AS src, (doc_id * 3 + 2) % (SELECT c FROM nc) AS dst FROM d
+            ),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            r0 AS (SELECT doc_id AS vid, 1.0 / (SELECT n FROM nn) AS rank FROM d),
+            s1 AS (SELECT coalesce(sum(r.rank), 0) AS shipped FROM r0 r JOIN deg ON r.vid = deg.src),
+            c1 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inflow
+                   FROM e JOIN deg USING (src) JOIN r0 r ON r.vid = e.src GROUP BY e.dst),
+            r1 AS (SELECT d.doc_id AS vid,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * (coalesce(c1.inflow, 0) + (1.0 - (SELECT shipped FROM s1)) / (SELECT n FROM nn)) AS rank
+                   FROM d LEFT JOIN c1 ON c1.dst = d.doc_id),
+            s2 AS (SELECT coalesce(sum(r.rank), 0) AS shipped FROM r1 r JOIN deg ON r.vid = deg.src),
+            c2 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inflow
+                   FROM e JOIN deg USING (src) JOIN r1 r ON r.vid = e.src GROUP BY e.dst),
+            r2 AS (SELECT d.doc_id AS vid,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * (coalesce(c2.inflow, 0) + (1.0 - (SELECT shipped FROM s2)) / (SELECT n FROM nn)) AS rank
+                   FROM d LEFT JOIN c2 ON c2.dst = d.doc_id),
+            s3 AS (SELECT coalesce(sum(r.rank), 0) AS shipped FROM r2 r JOIN deg ON r.vid = deg.src),
+            c3 AS (SELECT e.dst, sum(r.rank / deg.deg) AS inflow
+                   FROM e JOIN deg USING (src) JOIN r2 r ON r.vid = e.src GROUP BY e.dst),
+            r3 AS (SELECT d.doc_id AS vid,
+                     0.15 / (SELECT n FROM nn)
+                     + 0.85 * (coalesce(c3.inflow, 0) + (1.0 - (SELECT shipped FROM s3)) / (SELECT n FROM nn)) AS rank
+                   FROM d LEFT JOIN c3 ON c3.dst = d.doc_id)
+            SELECT vid AS doc_id, round(rank, 6) AS rank FROM r3 ORDER BY doc_id
         """,
         "quality_quantiles": """
             WITH w AS (
