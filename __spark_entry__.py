@@ -785,26 +785,101 @@ def q_sample_budget(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _synth_link_edges(docs, n):
+    """Deterministic IRREGULAR synthetic link graph over doc ids
+    (mirrored exactly by _SYNTH_EDGES_SQL): out-degree varies 0–3 —
+    docs divisible by 11 skip the main modular link (creating dangling
+    vertices), docs not divisible by 3 add a second modular link, and
+    every fifth doc links to one of 16 hub pages (giving the hubs high
+    in-degree).  A perfectly regular graph would make PageRank/HITS
+    uniform and the oracle comparison vacuous."""
+    d = F.col("doc_id")
+    e1 = docs.filter(d % 11 != 0).select(
+        d.alias("src"), ((d * 7 + 1) % n).alias("dst")
+    )
+    e2 = docs.filter(d % 3 != 0).select(
+        d.alias("src"), ((d * 3 + 2) % n).alias("dst")
+    )
+    e3 = docs.filter(d % 5 == 0).select(d.alias("src"), (d % 16).alias("dst"))
+    return e1.union(e2).union(e3)
+
+
+# DuckDB mirror of _synth_link_edges; expects CTEs d(doc_id) and nc(c).
+_SYNTH_EDGES_SQL = """
+            e AS (
+              SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT c FROM nc) AS dst
+              FROM d WHERE doc_id % 11 != 0
+              UNION ALL
+              SELECT doc_id, (doc_id * 3 + 2) % (SELECT c FROM nc)
+              FROM d WHERE doc_id % 3 != 0
+              UNION ALL
+              SELECT doc_id, doc_id % 16 FROM d WHERE doc_id % 5 = 0
+            )
+"""
+
+
 def q_pagerank(spark, sf_dir):
-    """Distributed PageRank (3 fixed power iterations, d=0.85) over a
-    deterministic synthetic link graph (each doc links to two modular
-    neighbors) — the graph signal a frontier prioritizer adds on top of
-    intrinsic URL scores."""
+    """Distributed PageRank (3 fixed power iterations, d=0.85) over the
+    deterministic irregular synthetic link graph — the graph signal a
+    frontier prioritizer adds on top of intrinsic URL scores."""
     from crawl4ai_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    edges = docs.select(
-        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst")
-    ).union(
-        docs.select(
-            F.col("doc_id").alias("src"), ((F.col("doc_id") * 3 + 2) % n).alias("dst")
-        )
-    )
+    edges = _synth_link_edges(docs, n)
     pr = pagerank(edges, docs.select(F.col("doc_id").alias("id")), n_iter=3)
     return pr.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
     ).orderBy("doc_id")
+
+
+def q_seed_distance(spark, sf_dir):
+    """BFS hop distance from the seed list over the synthetic link
+    graph (depth ≤ 4) — "how deep is this URL from the seeds", computed
+    post-hoc; the oracle is a recursive CTE."""
+    from crawl4ai_spark.operators.graph import bfs_levels
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = _synth_link_edges(docs, n)
+    seeds = docs.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    lv = bfs_levels(edges, seeds, max_depth=4)
+    return lv.select(F.col("id").alias("doc_id"), "depth").orderBy("doc_id")
+
+
+def q_hits_scores(spark, sf_dir):
+    """Kleinberg HITS hubs/authorities (2 fixed rounds, L1-normalized)
+    over the synthetic link graph — the link-endorsement signal
+    complementing PageRank for frontier prioritization."""
+    from crawl4ai_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = _synth_link_edges(docs, n)
+    hs = hits(edges, docs.select(F.col("doc_id").alias("id")), n_iter=2)
+    return hs.select(
+        F.col("id").alias("doc_id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    ).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-document count of word 5-grams
+    shared with a (deterministically chosen) eval set, and the
+    contaminated flag at ≥2 overlapping grams.  The eval-set gram table
+    is broadcast; the corpus side never shuffles for the probe."""
+    from crawl4ai_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return (
+        decontaminate(docs, bench, n=5, min_overlap=2)
+        .select("doc_id", "bench_gram_hits", "contaminated")
+        .orderBy("doc_id")
+    )
 
 
 def q_quality_quantiles(spark, sf_dir):
@@ -1554,6 +1629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "pagerank": q_pagerank,
+        "seed_distance": q_seed_distance,
+        "hits_scores": q_hits_scores,
+        "decontaminate": q_decontaminate,
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
@@ -2183,15 +2261,11 @@ def oracle_sql() -> dict[str, str]:
                    greatest(h_en, h_de, h_fr, h_es) AS sw_hits
             FROM h ORDER BY doc_id
         """,
-        "pagerank": """
+        "pagerank": f"""
             WITH d AS (SELECT doc_id FROM documents),
             nn AS (SELECT count(*)::DOUBLE AS n FROM d),
             nc AS (SELECT count(*) AS c FROM d),
-            e AS (
-              SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT c FROM nc) AS dst FROM d
-              UNION ALL
-              SELECT doc_id AS src, (doc_id * 3 + 2) % (SELECT c FROM nc) AS dst FROM d
-            ),
+            {_SYNTH_EDGES_SQL},
             deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
             r0 AS (SELECT doc_id AS vid, 1.0 / (SELECT n FROM nn) AS rank FROM d),
             s1 AS (SELECT coalesce(sum(r.rank), 0) AS shipped FROM r0 r JOIN deg ON r.vid = deg.src),
@@ -2216,6 +2290,69 @@ def oracle_sql() -> dict[str, str]:
                      + 0.85 * (coalesce(c3.inflow, 0) + (1.0 - (SELECT shipped FROM s3)) / (SELECT n FROM nn)) AS rank
                    FROM d LEFT JOIN c3 ON c3.dst = d.doc_id)
             SELECT vid AS doc_id, round(rank, 6) AS rank FROM r3 ORDER BY doc_id
+        """,
+        "seed_distance": f"""
+            WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+            nc AS (SELECT count(*) AS c FROM d),
+            {_SYNTH_EDGES_SQL},
+            r(vid, depth) AS (
+              SELECT doc_id, 0 FROM d WHERE doc_id % 101 = 0
+              UNION
+              SELECT e.dst, r.depth + 1 FROM r JOIN e ON e.src = r.vid
+              WHERE r.depth < 4
+            )
+            SELECT vid AS doc_id, min(depth) AS depth FROM r
+            GROUP BY vid ORDER BY doc_id
+        """,
+        "hits_scores": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+            nc AS (SELECT count(*) AS c FROM d),
+            {_SYNTH_EDGES_SQL},
+            h0 AS (SELECT doc_id AS vid, 1.0 / (SELECT n FROM nn) AS s FROM d),
+            a1r AS (SELECT d.doc_id AS vid, coalesce(sum(h0.s), 0) AS s
+                    FROM d LEFT JOIN e ON e.dst = d.doc_id
+                           LEFT JOIN h0 ON h0.vid = e.src
+                    GROUP BY d.doc_id),
+            a1 AS (SELECT vid, s / (SELECT sum(s) FROM a1r) AS s FROM a1r),
+            h1r AS (SELECT d.doc_id AS vid, coalesce(sum(a1.s), 0) AS s
+                    FROM d LEFT JOIN e ON e.src = d.doc_id
+                           LEFT JOIN a1 ON a1.vid = e.dst
+                    GROUP BY d.doc_id),
+            h1 AS (SELECT vid, s / (SELECT sum(s) FROM h1r) AS s FROM h1r),
+            a2r AS (SELECT d.doc_id AS vid, coalesce(sum(h1.s), 0) AS s
+                    FROM d LEFT JOIN e ON e.dst = d.doc_id
+                           LEFT JOIN h1 ON h1.vid = e.src
+                    GROUP BY d.doc_id),
+            a2 AS (SELECT vid, s / (SELECT sum(s) FROM a2r) AS s FROM a2r),
+            h2r AS (SELECT d.doc_id AS vid, coalesce(sum(a2.s), 0) AS s
+                    FROM d LEFT JOIN e ON e.src = d.doc_id
+                           LEFT JOIN a2 ON a2.vid = e.dst
+                    GROUP BY d.doc_id),
+            h2 AS (SELECT vid, s / (SELECT sum(s) FROM h2r) AS s FROM h2r)
+            SELECT d.doc_id, round(h2.s, 6) AS hub, round(a2.s, 6) AS auth
+            FROM d JOIN h2 ON h2.vid = d.doc_id JOIN a2 ON a2.vid = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "decontaminate": r"""
+            WITH w AS (SELECT doc_id, list_filter(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x != '') AS words FROM documents),
+            g AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 5
+                THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(
+                     generate_series(1, len(words) - 4),
+                     i -> array_to_string(words[i:i+4], ' '))) END) AS gram
+              FROM w
+            ),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            h AS (SELECT g.doc_id, count(*) AS bench_gram_hits
+                  FROM g JOIN b USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.bench_gram_hits, 0) AS bench_gram_hits,
+                   coalesce(h.bench_gram_hits, 0) >= 2 AS contaminated
+            FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id
         """,
         "quality_quantiles": """
             WITH w AS (

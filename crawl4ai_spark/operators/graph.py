@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "bfs_levels", "hits"]
 
 
 def pagerank(
@@ -83,3 +83,110 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("vid").alias(id_col), "rank")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    max_depth: int = 10,
+) -> DataFrame:
+    """(id, depth): shortest hop count from any seed, BFS up to
+    `max_depth` — the distributed answer to "how deep is this URL from
+    the seed list", the same quantity the crawl engine tracks
+    incrementally as `depth` (reference: bfs_strategy.py's level
+    bookkeeping) but computed post-hoc over an arbitrary edge table.
+
+    One (frontier ⨝ edges) hash join + distinct + anti-join against the
+    visited set per level — the visited set and frontier both carry
+    only vertex ids, so each superstep ships 8-byte keys exactly like
+    the crawl loop's seen anti-join.  Lineage cut per level.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    frontier = (
+        seeds.select(F.col(id_col).alias("vid")).distinct().localCheckpoint(eager=True)
+    )
+    visited = frontier.select("vid", F.lit(0).alias("depth"))
+    for d in range(1, max_depth + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            e.join(frontier, e["src"] == frontier["vid"])
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited.select("vid"), "vid", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.union(nxt.select("vid", F.lit(d).alias("depth"))).localCheckpoint(
+            eager=True
+        )
+        frontier = nxt
+    return visited.select(F.col("vid").alias(id_col), "depth")
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    n_iter: int = 2,
+) -> DataFrame:
+    """Kleinberg HITS: (id, hub, auth) after `n_iter` rounds, L1
+    normalization (scores sum to 1) each half-step — L1 rather than the
+    textbook L2 so the oracle SQL stays exact-arithmetic friendly;
+    the ranking order is identical under any positive rescaling.
+
+    Same dataflow skeleton as `pagerank`: ship scores along edges with
+    one hash join, one keyed sum, one scalar agg for the norm.
+    Parallel edges add weight, as repeated links do.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if vertices is None:
+        verts = (
+            e.select(F.col("src").alias("vid"))
+            .union(e.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+    else:
+        verts = vertices.select(F.col(id_col).alias("vid")).distinct()
+    verts = verts.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True)
+    n = verts.count()
+
+    hub = verts.select("vid", F.lit(1.0 / n).alias("s"))
+    auth = None
+    for _ in range(n_iter):
+        # auth(v) = Σ hub(u) over edges u→v, then L1-normalize
+        raw_a = (
+            e.join(hub, e["src"] == hub["vid"])
+            .groupBy("dst")
+            .agg(F.sum("s").alias("raw"))
+        )
+        auth = verts.join(raw_a, verts["vid"] == raw_a["dst"], "left").select(
+            "vid", F.coalesce(F.col("raw"), F.lit(0.0)).alias("s")
+        )
+        norm = auth.agg(F.sum("s")).collect()[0][0] or 1.0
+        auth = auth.select("vid", (F.col("s") / norm).alias("s")).localCheckpoint(
+            eager=True
+        )
+        # hub(u) = Σ auth(v) over edges u→v, then L1-normalize
+        raw_h = (
+            e.join(auth, e["dst"] == auth["vid"])
+            .groupBy("src")
+            .agg(F.sum("s").alias("raw"))
+        )
+        hub = verts.join(raw_h, verts["vid"] == raw_h["src"], "left").select(
+            "vid", F.coalesce(F.col("raw"), F.lit(0.0)).alias("s")
+        )
+        norm = hub.agg(F.sum("s")).collect()[0][0] or 1.0
+        hub = hub.select("vid", (F.col("s") / norm).alias("s")).localCheckpoint(
+            eager=True
+        )
+    return (
+        hub.select("vid", F.col("s").alias("hub"))
+        .join(auth.select("vid", F.col("s").alias("auth")), "vid")
+        .select(F.col("vid").alias(id_col), "hub", "auth")
+    )

@@ -1,11 +1,11 @@
-"""Distributed PageRank."""
+"""Distributed link-graph analytics: PageRank, BFS levels, HITS."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.operators.graph import pagerank
+from crawl4ai_spark.operators.graph import bfs_levels, hits, pagerank
 
 
 def _pr(spark, edges, vertices=None, **kw):
@@ -49,3 +49,36 @@ def test_parallel_edges_add_weight(spark):
     # 1 links twice to 2, once to 3 → 2 gets 2/3 of 1's shipped rank
     r = _pr(spark, [(1, 2), (1, 2), (1, 3), (2, 1), (3, 1)], n_iter=1)
     assert r[2] > r[3]
+
+
+def test_bfs_levels_shortest_hop(spark):
+    # 1→2→3→4 plus shortcut 1→3: depth(3) must be the SHORTER path
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,)], "id int")
+    lv = {r.id: r.depth for r in bfs_levels(e, seeds).collect()}
+    assert lv == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_levels_depth_bound_and_cycle(spark):
+    # cycle 1→2→1 terminates; max_depth truncates reach
+    e = spark.createDataFrame([(1, 2), (2, 1), (2, 3)], "src int, dst int")
+    seeds = spark.createDataFrame([(1,)], "id int")
+    lv = {r.id: r.depth for r in bfs_levels(e, seeds, max_depth=1).collect()}
+    assert lv == {1: 0, 2: 1}
+
+
+def test_hits_one_round_hand_values(spark):
+    # 1→3, 2→3, 3→1 with L1 normalization, one round:
+    # auth ∝ (1/3, 0, 2/3); hub ∝ (2/3, 2/3, 1/3) → (0.4, 0.4, 0.2)
+    e = spark.createDataFrame([(1, 3), (2, 3), (3, 1)], "src int, dst int")
+    r = {x.id: (x.hub, x.auth) for x in hits(e, n_iter=1).collect()}
+    assert r[1][1] == pytest.approx(1 / 3)
+    assert r[2][1] == pytest.approx(0.0)
+    assert r[3][1] == pytest.approx(2 / 3)
+    assert r[1][0] == pytest.approx(0.4)
+    assert r[2][0] == pytest.approx(0.4)
+    assert r[3][0] == pytest.approx(0.2)
+    assert sum(v[0] for v in r.values()) == pytest.approx(1.0)
+    assert sum(v[1] for v in r.values()) == pytest.approx(1.0)
