@@ -62,22 +62,25 @@ def pagerank(
         )
         # dangling vertices (no out-edges) leak their mass: total
         # shipped = sum of ranks of vertices WITH out-edges; the rest
-        # is spread uniformly.  One scalar agg rides the loop.
-        shipped = (
-            ranks.join(outdeg, ranks["vid"] == outdeg["src"], "left_semi")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
-        dangling = (1.0 - shipped) / n
+        # is spread uniformly.  The scalar rides the iteration's one
+        # job as a broadcast 1-row aggregate (ranks is checkpointed, so
+        # the extra agg re-reads the materialized blocks) — no driver
+        # collect / extra job per superstep.
+        shipped = ranks.join(
+            outdeg, ranks["vid"] == outdeg["src"], "left_semi"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_shipped"))
         ranks = (
             verts.join(contribs, verts["vid"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(shipped))
             .select(
                 "vid",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("_shipped")) / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -126,6 +129,21 @@ def bfs_levels(
     return visited.select(F.col("vid").alias(id_col), "depth")
 
 
+def _l1_normalized(scores: DataFrame) -> DataFrame:
+    """Divide `s` by Σs (1.0 if the graph shipped no mass) as a
+    broadcast 1-row aggregate riding the same job — no driver collect
+    per half-step (an extra full-scan job per superstep at frontier
+    scale otherwise)."""
+    norm = scores.agg(
+        F.when(F.sum("s") > 0, F.sum("s")).otherwise(F.lit(1.0)).alias("_norm")
+    )
+    return (
+        scores.crossJoin(F.broadcast(norm))
+        .select("vid", (F.col("s") / F.col("_norm")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def hits(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -168,10 +186,7 @@ def hits(
         auth = verts.join(raw_a, verts["vid"] == raw_a["dst"], "left").select(
             "vid", F.coalesce(F.col("raw"), F.lit(0.0)).alias("s")
         )
-        norm = auth.agg(F.sum("s")).collect()[0][0] or 1.0
-        auth = auth.select("vid", (F.col("s") / norm).alias("s")).localCheckpoint(
-            eager=True
-        )
+        auth = _l1_normalized(auth)
         # hub(u) = Σ auth(v) over edges u→v, then L1-normalize
         raw_h = (
             e.join(auth, e["dst"] == auth["vid"])
@@ -181,10 +196,7 @@ def hits(
         hub = verts.join(raw_h, verts["vid"] == raw_h["src"], "left").select(
             "vid", F.coalesce(F.col("raw"), F.lit(0.0)).alias("s")
         )
-        norm = hub.agg(F.sum("s")).collect()[0][0] or 1.0
-        hub = hub.select("vid", (F.col("s") / norm).alias("s")).localCheckpoint(
-            eager=True
-        )
+        hub = _l1_normalized(hub)
     return (
         hub.select("vid", F.col("s").alias("hub"))
         .join(auth.select("vid", F.col("s").alias("auth")), "vid")
