@@ -290,7 +290,7 @@ def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
         "simhash", "knn_cosine", "lsh_buckets", "lsh_multiprobe",
         "dedup_embedding", "label_centroid_sim", "ivf_topk", "adaptive_rank",
         "dedup_clusters", "gopher_repetition", "paragraph_dedup", "cross_doc_dup",
-        "pagerank", "text_stats", "text_quality",
+        "pagerank", "decontaminate", "text_stats", "text_quality",
         "lang_id", "interleaved_spans", "url_canonicalize", "url_scores",
         "media_decode",
     ]
