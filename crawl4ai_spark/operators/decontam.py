@@ -41,6 +41,7 @@ def decontaminate(
     n: int = 5,
     min_overlap: int = 1,
     broadcast_bench: bool = True,
+    mode: str = "join",
 ) -> DataFrame:
     """Per-document benchmark-overlap audit.
 
@@ -50,12 +51,38 @@ def decontaminate(
         `shingles`, so this is |grams(doc) ∩ grams(bench)|).
       - `contaminated`: bench_gram_hits >= min_overlap.
 
-    `broadcast_bench=False` falls back to a plain equi-join for the
-    (rare) case of an eval set too large to broadcast; the join key is
-    still the gram string so the counts are exact either way.
+    mode="join" (default): explode corpus grams, probe the broadcast
+    eval gram table, one keyed count — the general shape; works for
+    eval sets of any size (`broadcast_bench=False` falls back to a
+    plain equi-join when the eval set is too large to broadcast).
+
+    mode="map": fold the eval grams into ONE broadcast array and count
+    per row with `array_intersect` — zero explode, zero shuffle, zero
+    aggregation, so it is fully STATELESS and runs unchanged over a
+    Structured Stream (stream-static join, append mode).  Identical
+    counts (both sides are distinct gram sets); prefer it whenever the
+    eval gram set fits comfortably in an executor task (typical: eval
+    sets are MBs).
     """
-    grams = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("gram"))
     probe = bench_ngrams(bench, bench_text_col, n)
+    if mode == "map":
+        probe_arr = probe.agg(F.collect_set("gram").alias("_bench_grams"))
+        return (
+            df.crossJoin(F.broadcast(probe_arr))
+            .withColumn(
+                "bench_gram_hits",
+                F.size(
+                    F.array_intersect(
+                        shingles(text_col, n), F.col("_bench_grams")
+                    )
+                ).cast("long"),
+            )
+            .drop("_bench_grams")
+            .withColumn(
+                "contaminated", F.col("bench_gram_hits") >= F.lit(min_overlap)
+            )
+        )
+    grams = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("gram"))
     if broadcast_bench:
         probe = F.broadcast(probe)
     hits = (

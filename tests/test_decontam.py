@@ -49,3 +49,52 @@ def test_no_broadcast_parity(spark):
     a = _run(spark, docs, bench, n=5, broadcast_bench=True)
     b = _run(spark, docs, bench, n=5, broadcast_bench=False)
     assert a == b
+
+
+def test_map_mode_parity(spark):
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a b c d e f"),
+        (3, "tiny"),
+        (4, "nothing shared here with anything else whatsoever today friend"),
+    ]
+    bench = [(9, "quick brown fox jumps over the lazy"), (10, "a b c d e f g")]
+    a = _run(spark, docs, bench, n=5, min_overlap=2, mode="join")
+    b = _run(spark, docs, bench, n=5, min_overlap=2, mode="map")
+    assert a == b
+
+
+def test_map_mode_streams(spark, tmp_path):
+    """mode='map' is stateless (broadcast gram array + array_intersect),
+    so it must run unchanged over a Structured Stream in append mode."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated text with no shared phrases at all"),
+    ]
+    bench = spark.createDataFrame(
+        [(9, "quick brown fox jumps over")], "doc_id int, text string"
+    )
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, r in enumerate(rows):
+        spark.createDataFrame([r], "doc_id int, text string").write.parquet(
+            f"{src}/wave{i}"
+        )
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/wave*")
+    )
+    out = decontaminate(stream, bench, n=5, mode="map").select(
+        "doc_id", "bench_gram_hits", "contaminated"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("decon_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: (r.bench_gram_hits, r.contaminated)
+        for r in spark.sql("select * from decon_t").collect()
+    }
+    assert got == {1: (1, True), 2: (0, False)}
