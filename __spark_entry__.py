@@ -882,6 +882,33 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_nb_lang(spark, sf_dir):
+    """Classifier-based filtering (the GPT-3/LLaMA curation pillar):
+    fit a multinomial Naive Bayes language classifier on the even-id
+    half of the corpus, score every document.  Fit = two keyed aggs,
+    predict = one token-keyed join + one (doc, class) sum; class stats
+    broadcast; exactly reproducible in SQL.  (The synthetic corpus'
+    lang labels are independent of its token stream, so accuracy here
+    sits at the majority-class baseline by construction — the query
+    pins the distributed fit/predict machinery, not model quality;
+    `tests/test_classifier.py` pins the math on hand-computed
+    fixtures.)"""
+    from crawl4ai_spark.operators.classifier import nb_fit, nb_predict
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumnRenamed("lang", "label")
+    model = nb_fit(train, label_col="label")
+    return (
+        nb_predict(docs, model)
+        .select(
+            "doc_id",
+            F.col("label").alias("pred_lang"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality distribution (exact interpolated
     percentiles — the corpus-health dashboard numbers; at 100 TB the
@@ -1632,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance": q_seed_distance,
         "hits_scores": q_hits_scores,
         "decontaminate": q_decontaminate,
+        "nb_lang": q_nb_lang,
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
@@ -2353,6 +2381,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.bench_gram_hits, 0) AS bench_gram_hits,
                    coalesce(h.bench_gram_hits, 0) >= 2 AS contaminated
             FROM documents d LEFT JOIN h USING (doc_id) ORDER BY doc_id
+        """,
+        "nb_lang": r"""
+            WITH w AS (SELECT doc_id, lang, list_filter(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x != '') AS words FROM documents),
+            tok AS (SELECT doc_id, lang, unnest(words) AS token FROM w),
+            tcd AS (SELECT doc_id, lang, token, count(*) AS n
+                    FROM tok GROUP BY doc_id, lang, token),
+            train AS (SELECT * FROM tcd WHERE doc_id % 2 = 0),
+            cls AS (SELECT lang AS label, count(DISTINCT doc_id) AS docs_c,
+                           sum(n) AS tokens_c
+                    FROM train GROUP BY lang),
+            tot AS (SELECT sum(docs_c)::DOUBLE AS t FROM cls),
+            vocab AS (SELECT DISTINCT token FROM train),
+            vsz AS (SELECT count(*)::DOUBLE AS v FROM vocab),
+            ts AS (SELECT label, token, ln(sum(n) + 1.0) AS loglik
+                   FROM (SELECT t.lang AS label, t.token, t.n FROM train t)
+                   GROUP BY label, token),
+            dt AS (SELECT c.doc_id, c.token, c.n
+                   FROM tcd c JOIN vocab USING (token)),
+            md AS (SELECT doc_id, sum(n) AS m FROM dt GROUP BY doc_id),
+            hits AS (SELECT dt.doc_id, ts.label,
+                            sum(dt.n * ts.loglik) AS hit_sum
+                     FROM dt JOIN ts USING (token)
+                     GROUP BY dt.doc_id, ts.label),
+            scores AS (
+              SELECT md.doc_id, c.label,
+                     ln(c.docs_c / (SELECT t FROM tot))
+                     - md.m * ln(c.tokens_c + (SELECT v FROM vsz))
+                     + coalesce(h.hit_sum, 0) AS score
+              FROM md CROSS JOIN cls c
+              LEFT JOIN hits h ON h.doc_id = md.doc_id AND h.label = c.label)
+            SELECT doc_id, label AS pred_lang, round(score, 6) AS score
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+                  FROM scores)
+            WHERE rn = 1 ORDER BY doc_id
         """,
         "quality_quantiles": """
             WITH w AS (
