@@ -909,6 +909,41 @@ def q_nb_lang(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filtering (Wenzek et al. 2020): fit an
+    add-k bigram LM on the English slice, score every document by
+    log-perplexity under it.  The model is two vocabulary-bounded dim
+    tables (broadcast); the corpus side is one explode + one doc_id
+    agg — the standard post-dedup quality cut at 100 TB."""
+    from crawl4ai_spark.operators.lm import fit_bigram_lm, score_log_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ref = docs.filter(F.col("lang") == "en")
+    model, ctx, vocab = fit_bigram_lm(ref)
+    return (
+        score_log_perplexity(docs, model, ctx, vocab)
+        .select("doc_id", "n_bigrams", F.round("log_ppl", 6).alias("log_ppl"))
+        .orderBy("doc_id")
+    )
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed n-gram importance weights (Xie et al. 2023):
+    target = the English slice, raw = the whole corpus; every doc gets
+    Σ_features log(p_bucket/q_bucket).  The whole model is a 512-row
+    broadcast dim; scoring is one explode + broadcast join + agg."""
+    from crawl4ai_spark.operators.lm import dsir_bucket_weights, dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_bucket_weights(docs, target, buckets=512)
+    return (
+        dsir_log_weights(docs, w, buckets=512)
+        .select("doc_id", "n_feats", F.round("log_weight", 6).alias("log_weight"))
+        .orderBy("doc_id")
+    )
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality distribution (exact interpolated
     percentiles — the corpus-health dashboard numbers; at 100 TB the
@@ -1660,6 +1695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "decontaminate": q_decontaminate,
         "nb_lang": q_nb_lang,
+        "lm_perplexity": q_lm_perplexity,
+        "dsir_weights": q_dsir_weights,
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
@@ -2418,6 +2455,78 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY score DESC, label) AS rn
                   FROM scores)
             WHERE rn = 1 ORDER BY doc_id
+        """,
+        "lm_perplexity": r"""
+            WITH d AS (SELECT doc_id, lang, list_filter(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x != '') AS ws FROM documents),
+            big AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1])) AS bigram
+              FROM d WHERE len(ws) >= 2
+            ),
+            ref AS (SELECT bigram FROM big WHERE lang = 'en'),
+            vocab AS (
+              SELECT count(DISTINCT tok)::DOUBLE AS v
+              FROM (SELECT unnest(ws) AS tok FROM d WHERE lang = 'en')
+            ),
+            counts AS (
+              SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+                     count(*)::DOUBLE AS c
+              FROM ref GROUP BY bigram
+            ),
+            ctxn AS (SELECT w1, sum(c) AS n_ctx FROM counts GROUP BY w1),
+            model AS (
+              SELECT bigram, ln((c + 0.1) / (n_ctx + 0.1 * v)) AS logp
+              FROM counts JOIN ctxn USING (w1) CROSS JOIN vocab
+            ),
+            ctx AS (
+              SELECT w1, ln(0.1 / (n_ctx + 0.1 * v)) AS logp_unseen
+              FROM ctxn CROSS JOIN vocab
+            )
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(-avg(coalesce(m.logp, cx.logp_unseen, -ln(v))), 6) AS log_ppl
+            FROM big b
+            LEFT JOIN model m USING (bigram)
+            LEFT JOIN ctx cx ON split_part(b.bigram, ' ', 1) = cx.w1
+            CROSS JOIN vocab
+            GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "dsir_weights": r"""
+            WITH d AS (SELECT doc_id, lang, list_filter(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x != '') AS ws FROM documents),
+            feats AS (
+              SELECT doc_id, lang, unnest(list_concat(ws,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(generate_series(1, len(ws) - 1),
+                                              i -> ws[i] || ' ' || ws[i+1])
+                          ELSE []::VARCHAR[] END)) AS feat
+              FROM d
+            ),
+            fb AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(feat), 1, 8))::BIGINT % 512 AS bucket
+              FROM feats
+            ),
+            tc AS (SELECT bucket, count(*)::DOUBLE AS c_t FROM fb
+                   WHERE lang = 'en' GROUP BY bucket),
+            rc AS (SELECT bucket, count(*)::DOUBLE AS c_r FROM fb GROUP BY bucket),
+            tt AS (SELECT sum(c_t) AS n_t FROM tc),
+            rt AS (SELECT sum(c_r) AS n_r FROM rc),
+            dim AS (
+              SELECT g.bucket,
+                     ln((coalesce(c_t, 0) + 1.0) / (n_t + 512.0))
+                   - ln((coalesce(c_r, 0) + 1.0) / (n_r + 512.0)) AS log_ratio
+              FROM (SELECT unnest(generate_series(0, 511)) AS bucket) g
+              LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+              CROSS JOIN tt CROSS JOIN rt
+            )
+            SELECT f.doc_id, count(*) AS n_feats,
+                   round(sum(dim.log_ratio), 6) AS log_weight
+            FROM fb f JOIN dim USING (bucket)
+            GROUP BY f.doc_id ORDER BY f.doc_id
         """,
         "quality_quantiles": """
             WITH w AS (

@@ -290,7 +290,8 @@ def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
         "simhash", "knn_cosine", "lsh_buckets", "lsh_multiprobe",
         "dedup_embedding", "label_centroid_sim", "ivf_topk", "adaptive_rank",
         "dedup_clusters", "gopher_repetition", "paragraph_dedup", "cross_doc_dup",
-        "pagerank", "decontaminate", "text_stats", "text_quality",
+        "pagerank", "decontaminate", "lm_perplexity", "dsir_weights",
+        "text_stats", "text_quality",
         "lang_id", "interleaved_spans", "url_canonicalize", "url_scores",
         "media_decode",
     ]
