@@ -944,6 +944,37 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_source_reputation(spark, sf_dir):
+    """RefinedWeb-style host/domain reputation rollup: one combine-
+    friendly agg on the source key (quality mean, exact-dup rate over
+    sha2 digests, majority-language purity) → composite reputation."""
+    from crawl4ai_spark.operators.reputation import source_reputation
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = source_reputation(docs)
+    return rep.select(
+        "source",
+        "n_docs",
+        F.round("mean_quality", 6).alias("mean_quality"),
+        F.round("dup_rate", 6).alias("dup_rate"),
+        F.round("lang_purity", 6).alias("lang_purity"),
+        F.round("mean_chars", 6).alias("mean_chars"),
+        F.round("reputation", 6).alias("reputation"),
+    ).orderBy("source")
+
+
+def q_reputation_filter(spark, sf_dir):
+    """Host-reputation gate: broadcast the per-source dim back onto the
+    fact table (map-side semi-join — the fact side never shuffles)."""
+    from crawl4ai_spark.operators.reputation import filter_by_source_reputation
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = filter_by_source_reputation(docs, min_reputation=0.68)
+    return kept.select(
+        "doc_id", "source", F.round("reputation", 6).alias("reputation")
+    ).orderBy("doc_id")
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality distribution (exact interpolated
     percentiles — the corpus-health dashboard numbers; at 100 TB the
@@ -1697,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang": q_nb_lang,
         "lm_perplexity": q_lm_perplexity,
         "dsir_weights": q_dsir_weights,
+        "source_reputation": q_source_reputation,
+        "reputation_filter": q_reputation_filter,
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
@@ -2527,6 +2560,99 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(dim.log_ratio), 6) AS log_weight
             FROM fb f JOIN dim USING (bucket)
             GROUP BY f.doc_id ORDER BY f.doc_id
+        """,
+        "source_reputation": """
+            WITH w AS (
+              SELECT doc_id, source, lang, text,
+                     list_filter(string_split_regex(lower(text), '[^a-zA-Zà-ÿä-üá-ú]+'), x -> x != '') AS lw,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS words
+              FROM documents
+            ), m AS (
+              SELECT doc_id, source, lang, text, words,
+                     CASE WHEN len(lw) > 0 THEN
+                       len(list_filter(lw, x -> x IN ('the','and','of','to','in','is','that','it','for','with','was','on')))::DOUBLE / len(lw)
+                     ELSE 0.0 END AS swr,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(words) > 0
+                          THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+                          ELSE 0.0 END AS mwl
+              FROM w
+            ), qv AS (
+              SELECT doc_id, source, lang, text,
+                     0.3 * (CASE WHEN length(text) >= 200 THEN 1.0 WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN swr >= 0.2 THEN 1.0 WHEN swr >= 0.08 THEN 0.5 ELSE 0.0 END)
+                   + 0.2 * greatest(0.0, 1.0 - greatest(0.0, (pr - 0.15) * 4))
+                   + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) AS q
+              FROM m
+            ), base AS (
+              SELECT source, count(*) AS n_docs, avg(q) AS mean_quality,
+                     count(DISTINCT text) AS n_distinct,
+                     avg(length(text)::DOUBLE) AS mean_chars
+              FROM qv GROUP BY source
+            ), lc AS (
+              SELECT source, lang, count(*) AS n_lang FROM qv GROUP BY source, lang
+            ), pur AS (
+              SELECT source, max(n_lang)::DOUBLE / sum(n_lang) AS lang_purity
+              FROM lc GROUP BY source
+            )
+            SELECT b.source, b.n_docs,
+                   round(b.mean_quality, 6) AS mean_quality,
+                   round(1.0 - b.n_distinct::DOUBLE / b.n_docs, 6) AS dup_rate,
+                   round(p.lang_purity, 6) AS lang_purity,
+                   round(b.mean_chars, 6) AS mean_chars,
+                   round(0.4 * b.mean_quality
+                       + 0.3 * (1.0 - (1.0 - b.n_distinct::DOUBLE / b.n_docs))
+                       + 0.3 * p.lang_purity, 6) AS reputation
+            FROM base b JOIN pur p USING (source)
+            ORDER BY source
+        """,
+        "reputation_filter": """
+            WITH w AS (
+              SELECT doc_id, source, lang, text,
+                     list_filter(string_split_regex(lower(text), '[^a-zA-Zà-ÿä-üá-ú]+'), x -> x != '') AS lw,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS words
+              FROM documents
+            ), m AS (
+              SELECT doc_id, source, lang, text, words,
+                     CASE WHEN len(lw) > 0 THEN
+                       len(list_filter(lw, x -> x IN ('the','and','of','to','in','is','that','it','for','with','was','on')))::DOUBLE / len(lw)
+                     ELSE 0.0 END AS swr,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE / length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(words) > 0
+                          THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+                          ELSE 0.0 END AS mwl
+              FROM w
+            ), qv AS (
+              SELECT doc_id, source, lang, text,
+                     0.3 * (CASE WHEN length(text) >= 200 THEN 1.0 WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+                   + 0.3 * (CASE WHEN swr >= 0.2 THEN 1.0 WHEN swr >= 0.08 THEN 0.5 ELSE 0.0 END)
+                   + 0.2 * greatest(0.0, 1.0 - greatest(0.0, (pr - 0.15) * 4))
+                   + 0.2 * (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.3 END) AS q
+              FROM m
+            ), base AS (
+              SELECT source, count(*) AS n_docs, avg(q) AS mean_quality,
+                     count(DISTINCT text) AS n_distinct
+              FROM qv GROUP BY source
+            ), lc AS (
+              SELECT source, lang, count(*) AS n_lang FROM qv GROUP BY source, lang
+            ), pur AS (
+              SELECT source, max(n_lang)::DOUBLE / sum(n_lang) AS lang_purity
+              FROM lc GROUP BY source
+            ), rep AS (
+              SELECT b.source,
+                     0.4 * b.mean_quality
+                   + 0.3 * (1.0 - (1.0 - b.n_distinct::DOUBLE / b.n_docs))
+                   + 0.3 * p.lang_purity AS reputation
+              FROM base b JOIN pur p USING (source)
+            )
+            SELECT d.doc_id, d.source, round(r.reputation, 6) AS reputation
+            FROM documents d JOIN rep r USING (source)
+            WHERE r.reputation >= 0.68
+            ORDER BY d.doc_id
         """,
         "quality_quantiles": """
             WITH w AS (
