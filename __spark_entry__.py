@@ -354,6 +354,34 @@ def q_jaccard_rare(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup admission: a NEW crawl batch (doc_id % 5
+    == 0, 20% of the corpus) checked against the signature index of
+    everything already admitted (the other 80%) — history is never
+    re-shingled, the new batch broadcasts onto the band index, and
+    similarity is the MinHash signature-agreement estimator over the
+    index's fixed-width rows."""
+    from crawl4ai_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_bands,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index_sig = minhash_signature(old, "text", "doc_id", num_perm=8, shingle_n=3)
+    index_bands = minhash_bands(index_sig, "doc_id", rows_per_band=2)
+    return (
+        dedup_incremental(
+            new, index_sig, index_bands, "text", "doc_id",
+            num_perm=8, shingle_n=3, rows_per_band=2, threshold=0.5,
+        )
+        .withColumn("est_jaccard", F.round("est_jaccard", 6))
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """The dedup endgame: verified near-dup pairs grouped into
     connected components, one canonical doc per cluster.  Same cascade
@@ -1709,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "jaccard_rare": q_jaccard_rare,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "knn_cosine": q_knn_cosine,
@@ -1985,6 +2014,47 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON a = sa.doc_id JOIN sizes sb ON b = sb.doc_id
             WHERE i / (sa.n_sh + sb.n_sh - i) >= 0.12
             ORDER BY a, b
+        """,
+        "dedup_incremental": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+                     i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END) AS shingle
+              FROM w
+            ), sig AS (
+              SELECT doc_id, perm, min(md5(shingle || '#p' || perm::VARCHAR)) AS minhash
+              FROM sh, (SELECT unnest(generate_series(0, 7)) AS perm)
+              GROUP BY doc_id, perm
+            ), banded AS (
+              SELECT doc_id, perm // 2 AS band,
+                     array_to_string(list_sort(list(minhash)), '|') AS band_key
+              FROM sig GROUP BY doc_id, perm // 2
+            ), cand AS (
+              SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+              FROM banded n JOIN banded o ON n.band = o.band AND n.band_key = o.band_key
+              WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 != 0
+            ), est AS (
+              SELECT c.new_id, c.old_id,
+                     sum(CASE WHEN sn.minhash = so.minhash THEN 1 ELSE 0 END)::DOUBLE / 8 AS est_jaccard
+              FROM cand c
+              JOIN sig sn ON sn.doc_id = c.new_id
+              JOIN sig so ON so.doc_id = c.old_id AND so.perm = sn.perm
+              GROUP BY 1, 2
+            ), best AS (
+              SELECT new_id, old_id, est_jaccard,
+                     row_number() OVER (PARTITION BY new_id
+                                        ORDER BY est_jaccard DESC, old_id ASC) AS rn
+              FROM est
+            )
+            SELECT d.doc_id,
+                   coalesce(b.est_jaccard >= 0.5, false) AS is_dup,
+                   b.old_id AS matched_id,
+                   round(b.est_jaccard, 6) AS est_jaccard
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+            WHERE d.doc_id % 5 = 0
+            ORDER BY d.doc_id
         """,
         "dedup_clusters": f"""
             WITH RECURSIVE w AS (SELECT doc_id, {words} AS words FROM documents),

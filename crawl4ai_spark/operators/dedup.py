@@ -33,10 +33,14 @@ __all__ = [
     "dedup_exact",
     "shingles",
     "minhash_signature",
+    "minhash_bands",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash64",
     "simhash_candidate_pairs",
+    "write_minhash_index",
+    "read_minhash_index",
+    "dedup_incremental",
 ]
 
 
@@ -118,16 +122,24 @@ def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return wide.select(F.col(id_col), F.expr(stack))
 
 
+def minhash_bands(sig: DataFrame, id_col: str = "doc_id",
+                  rows_per_band: int = 4) -> DataFrame:
+    """(id, band, band_key): LSH banding of a long-layout signature.
+    band_key concatenates the band's sorted minhashes — docs agreeing
+    on ALL rows of a band share its key."""
+    return (
+        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, rows_per_band: int = 4) -> DataFrame:
     """Band the signature and self-join on (band, band_key):
     candidate pairs are docs agreeing on ALL rows of ≥1 band.
     Output: (a, b) with a < b, distinct."""
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list("minhash"))).alias("band_key"))
-    )
+    banded = minhash_bands(sig, id_col, rows_per_band)
     left = banded.select(F.col(id_col).alias("a"), "band", "band_key")
     right = banded.select(F.col(id_col).alias("b"), "band", "band_key")
     return (
@@ -252,3 +264,112 @@ def simhash_candidate_pairs(sim: DataFrame, id_col: str = "doc_id",
     return pairs.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("a", "b", "hamming")
+
+
+# ── 5. incremental dedup against a persisted signature index ─────────
+
+def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 8,
+                        shingle_n: int = 3, rows_per_band: int = 2,
+                        mode: str = "overwrite") -> None:
+    """Persist the corpus's minhash index: `<path>/sig` (long-layout
+    signatures) and `<path>/bands` (banded keys, PARTITIONED BY band).
+
+    This is the artifact a continuously-crawled 100 TB corpus keeps
+    beside itself so each new crawl batch deduplicates against
+    EVERYTHING seen so far without re-shingling history: index size is
+    n_docs × (num_perm + bands) fixed-width rows — ~100 bytes/doc —
+    and `mode="append"` adds a batch's rows after it is admitted.
+    Partitioning bands by `band` keeps each probe join's scan to one
+    directory per band and lets AQE size the bucket-side splits.
+    (With a real catalog this is a `bucket(band_key)` table and the
+    probe is a storage-partitioned join; parquet stand-in here, same
+    layout contract as plans/state.py.)
+    """
+    sig = minhash_signature(docs, text_col, id_col, num_perm, shingle_n)
+    sig.write.mode(mode).parquet(f"{path}/sig")
+    bands = minhash_bands(sig, id_col, rows_per_band)
+    bands.write.mode(mode).partitionBy("band").parquet(f"{path}/bands")
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(sig, bands) as written by `write_minhash_index`."""
+    return spark.read.parquet(f"{path}/sig"), spark.read.parquet(f"{path}/bands")
+
+
+def dedup_incremental(new_docs: DataFrame, index_sig: DataFrame,
+                      index_bands: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 8,
+                      shingle_n: int = 3, rows_per_band: int = 2,
+                      threshold: float = 0.5,
+                      broadcast_new: bool = True) -> DataFrame:
+    """Near-dup check of a NEW batch against an existing corpus index:
+    one row per new doc — (id, is_dup, matched_id, est_jaccard).
+
+    The incremental shape is what matters at 100 TB: history is never
+    re-shingled.  The new batch (small: one crawl's admissions) is
+    signed and banded, then BROADCAST onto the persisted band index —
+    candidate generation is a map-side join over the index scan, no
+    index-side shuffle.  Similarity is the standard signature-agreement
+    estimator (fraction of matching minhash components, the MinHashLSH
+    estimator): E[matches/num_perm] = Jaccard(a, b), so verification
+    needs only the index's fixed-width signature rows, never history's
+    text.  Verification work is |candidates| × num_perm, bounded by
+    the banding's collision rate exactly as in the batch cascade.
+
+    `matched_id` is the best-estimate (tie: lowest-id) indexed doc;
+    docs with no band collision come back is_dup=false with nulls.
+    Reference parity: crawl4ai's URL-seen set is the exact-dup
+    analogue of this check (async_url_seeder caches, deep_crawl
+    visited set); content-level incremental near-dup is the curation
+    extension of the same admit-only-new contract.
+    """
+    sig_new = minhash_signature(new_docs, text_col, id_col, num_perm, shingle_n)
+    bands_new = minhash_bands(sig_new, id_col, rows_per_band)
+
+    bn = bands_new.select(F.col(id_col).alias("_new_id"), "band", "band_key")
+    if broadcast_new:
+        bn = F.broadcast(bn)
+    cand = (
+        index_bands.select(F.col(id_col).alias("_old_id"), "band", "band_key")
+        .join(bn, ["band", "band_key"])
+        .filter(F.col("_old_id") != F.col("_new_id"))
+        .select("_new_id", "_old_id")
+        .distinct()
+    )
+
+    sn = sig_new.select(F.col(id_col).alias("_new_id"), "perm",
+                        F.col("minhash").alias("_mh_new"))
+    if broadcast_new:
+        sn = F.broadcast(sn)
+    est = (
+        cand.join(sn, "_new_id")
+        .join(
+            index_sig.select(F.col(id_col).alias("_old_id"), "perm",
+                             F.col("minhash").alias("_mh_old")),
+            ["_old_id", "perm"],
+        )
+        .groupBy("_new_id", "_old_id")
+        .agg(
+            (F.sum((F.col("_mh_new") == F.col("_mh_old")).cast("int"))
+             / F.lit(num_perm)).alias("est_jaccard")
+        )
+    )
+    w = Window.partitionBy("_new_id").orderBy(
+        F.desc("est_jaccard"), F.asc("_old_id")
+    )
+    best = (
+        est.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(best.withColumnRenamed("_new_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("est_jaccard") >= threshold, F.lit(False)).alias("is_dup"),
+            F.col("_old_id").alias("matched_id"),
+            "est_jaccard",
+        )
+    )
