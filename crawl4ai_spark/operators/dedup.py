@@ -41,6 +41,9 @@ __all__ = [
     "write_minhash_index",
     "read_minhash_index",
     "dedup_incremental",
+    "minhash_signature_arr",
+    "band_keys_arr",
+    "sig_long_to_arr",
 ]
 
 
@@ -372,4 +375,52 @@ def dedup_incremental(new_docs: DataFrame, index_sig: DataFrame,
             F.col("_old_id").alias("matched_id"),
             "est_jaccard",
         )
+    )
+
+
+def _mh_closure(p: int):
+    # 1-arg closure per permutation: a `lambda s, p=p:` 2-param lambda
+    # would silently bind Spark's HOF index argument to p instead.
+    return lambda s: _minhash_fn(s, p)
+
+
+def minhash_signature_arr(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", num_perm: int = 8,
+                          shingle_n: int = 3) -> DataFrame:
+    """(id, sig): the signature as one array<string> column, computed
+    ENTIRELY per row (array_min over a transform of the shingle array
+    per permutation) — zero shuffle, zero state, so it runs unchanged
+    over a Structured Stream and never exchanges the shingle volume.
+
+    Same values as `minhash_signature` (sig[p] == long-layout row p);
+    prefer the long layout when downstream wants banding as a groupBy,
+    this one when the pipeline must stay map-only (streams) or wants
+    the signature carried on the document row."""
+    sh = df.withColumn("_sh", shingles(text_col, shingle_n))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_sh"), _mh_closure(p)))
+        for p in range(num_perm)
+    ])
+    return sh.withColumn("sig", sig).drop("_sh")
+
+
+def band_keys_arr(sig: Column, num_perm: int, rows_per_band: int) -> Column:
+    """array<string> of band keys from an array-layout signature —
+    band i concatenates the sorted minhashes of its slice, identical
+    to `minhash_bands`'s collect_list+sort key."""
+    n_bands = num_perm // rows_per_band
+    return F.array(*[
+        F.concat_ws("|", F.array_sort(F.slice(sig, i * rows_per_band + 1, rows_per_band)))
+        for i in range(n_bands)
+    ])
+
+
+def sig_long_to_arr(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Pivot a long-layout signature (id, perm, minhash) to the array
+    layout (id, sig) — for probing a persisted index row-at-a-time."""
+    return sig.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+            lambda x: x["minhash"],
+        ).alias("sig")
     )

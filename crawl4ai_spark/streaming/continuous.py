@@ -250,3 +250,65 @@ def host_politeness_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def stream_dedup_incremental(
+    docs: DataFrame, index_sig: DataFrame, index_bands: DataFrame, *,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 8, shingle_n: int = 3, rows_per_band: int = 2,
+    threshold: float = 0.5,
+    ts_col: str = "ts", watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming near-dup admission against the persisted corpus
+    index (`operators.dedup.write_minhash_index`): emit
+    (id, matched_id, est_jaccard, ts) for each arriving document that
+    near-duplicates an ALREADY-ADMITTED one.  Docs with no match emit
+    nothing — downstream anti-joins the flags to admit.
+
+    Everything before the final dedup is MAP-ONLY on the stream side:
+    the signature is the per-row array layout (`minhash_signature_arr`
+    — array_min over transforms, no shuffle), band keys are array
+    slices, and candidate generation + verification are stream-STATIC
+    joins against the index (static side hash-joined per micro-batch;
+    with the index bucketed by band_key in a real catalog this is a
+    storage-partitioned probe).  Similarity is the signature-agreement
+    estimator — history's text is never read.  The only state is the
+    watermark-bounded (id, matched_id) dedup that collapses multi-band
+    hits of the same pair, exactly `stream_dedup_exact`'s regime.
+    """
+    from crawl4ai_spark.operators.dedup import (
+        band_keys_arr, minhash_signature_arr, sig_long_to_arr,
+    )
+
+    signed = minhash_signature_arr(
+        docs, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, shingle_n=shingle_n,
+    ).select(
+        F.col(id_col), F.col(ts_col), F.col("sig"),
+        F.posexplode(band_keys_arr(F.col("sig"), num_perm, rows_per_band))
+        .alias("band", "band_key"),
+    )
+    cand = signed.join(
+        index_bands.select(
+            F.col(id_col).alias("matched_id"), "band", "band_key"
+        ),
+        ["band", "band_key"],
+    )
+    old_arr = sig_long_to_arr(index_sig, id_col).select(
+        F.col(id_col).alias("matched_id"), F.col("sig").alias("_sig_old")
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig", "_sig_old", lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(num_perm)
+    )
+    return (
+        cand.join(old_arr, "matched_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, "matched_id"])
+        .select(id_col, "matched_id", "est_jaccard", ts_col)
+    )
