@@ -955,6 +955,29 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: per-language perplexity tercile
+    labels via an agg-then-broadcast cutoff dim (no window, no
+    per-language sort) — the published post-LM corpus partitioning."""
+    from crawl4ai_spark.operators.lm import (
+        ccnet_buckets,
+        fit_bigram_lm,
+        score_log_perplexity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ref = docs.filter(F.col("lang") == "en")
+    model, ctx, vocab = fit_bigram_lm(ref)
+    scored = score_log_perplexity(docs, model, ctx, vocab).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        ccnet_buckets(scored)
+        .select("doc_id", "lang", F.round("log_ppl", 6).alias("log_ppl"), "bucket")
+        .orderBy("doc_id")
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance weights (Xie et al. 2023):
     target = the English slice, raw = the whole corpus; every doc gets
@@ -1756,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "nb_lang": q_nb_lang,
         "lm_perplexity": q_lm_perplexity,
+        "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "source_reputation": q_source_reputation,
         "reputation_filter": q_reputation_filter,
@@ -2595,6 +2619,57 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ctx cx ON split_part(b.bigram, ' ', 1) = cx.w1
             CROSS JOIN vocab
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "ccnet_buckets": r"""
+            WITH d AS (SELECT doc_id, lang, list_filter(string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                   x -> x != '') AS ws FROM documents),
+            big AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1])) AS bigram
+              FROM d WHERE len(ws) >= 2
+            ),
+            ref AS (SELECT bigram FROM big WHERE lang = 'en'),
+            vocab AS (
+              SELECT count(DISTINCT tok)::DOUBLE AS v
+              FROM (SELECT unnest(ws) AS tok FROM d WHERE lang = 'en')
+            ),
+            counts AS (
+              SELECT bigram, split_part(bigram, ' ', 1) AS w1,
+                     count(*)::DOUBLE AS c
+              FROM ref GROUP BY bigram
+            ),
+            ctxn AS (SELECT w1, sum(c) AS n_ctx FROM counts GROUP BY w1),
+            model AS (
+              SELECT bigram, ln((c + 0.1) / (n_ctx + 0.1 * v)) AS logp
+              FROM counts JOIN ctxn USING (w1) CROSS JOIN vocab
+            ),
+            ctx AS (
+              SELECT w1, ln(0.1 / (n_ctx + 0.1 * v)) AS logp_unseen
+              FROM ctxn CROSS JOIN vocab
+            ),
+            scored AS (
+              SELECT b.doc_id, b.lang,
+                     -avg(coalesce(m.logp, cx.logp_unseen, -ln(v))) AS log_ppl
+              FROM big b
+              LEFT JOIN model m USING (bigram)
+              LEFT JOIN ctx cx ON split_part(b.bigram, ' ', 1) = cx.w1
+              CROSS JOIN vocab
+              GROUP BY b.doc_id, b.lang
+            ),
+            cutd AS (
+              SELECT lang,
+                     round(quantile_cont(log_ppl, 1.0/3.0), 6) AS c1,
+                     round(quantile_cont(log_ppl, 2.0/3.0), 6) AS c2
+              FROM scored GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, round(s.log_ppl, 6) AS log_ppl,
+                   CASE WHEN round(s.log_ppl, 6) <= c.c1 THEN 'head'
+                        WHEN round(s.log_ppl, 6) <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN cutd c USING (lang)
+            ORDER BY s.doc_id
         """,
         "dsir_weights": r"""
             WITH d AS (SELECT doc_id, lang, list_filter(string_split(

@@ -54,6 +54,7 @@ __all__ = [
     "score_log_perplexity",
     "dsir_bucket_weights",
     "dsir_log_weights",
+    "ccnet_buckets",
 ]
 
 
@@ -236,4 +237,47 @@ def dsir_log_weights(
             F.count("*").alias("n_feats"),
             F.sum("log_ratio").alias("log_weight"),
         )
+    )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    ppl_col: str = "log_ppl",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.4): per
+    language, cut the perplexity distribution at the given quantiles
+    and label each document's tercile — "head" is the most-fluent
+    slice that trains first-pass models, "tail" gets dropped or
+    down-sampled.
+
+    Scale shape: the cutoffs are a per-language AGG (2 numbers per
+    language — a dim of a few hundred rows at web scale), broadcast
+    back onto the scored corpus; assignment is a map-side comparison.
+    No window, no per-language sort — the corpus is never ordered.
+    Exact interpolated percentile here; at 100 TB swap in
+    percentile_approx (same plan shape, sketch-mergeable) exactly as
+    CCNet computes cutoffs on a sample.
+
+    Values compare after rounding to `round_to` so the bucket label is
+    reproducible across engines/precisions at the cut boundary.
+    """
+    c1, c2 = cuts
+    cutd = scored.groupBy(lang_col).agg(
+        F.round(F.percentile(ppl_col, F.lit(c1)), round_to).alias("_cut1"),
+        F.round(F.percentile(ppl_col, F.lit(c2)), round_to).alias("_cut2"),
+    )
+    r = F.round(F.col(ppl_col), round_to)
+    return (
+        scored.join(F.broadcast(cutd), lang_col)
+        .withColumn(
+            "bucket",
+            F.when(r <= F.col("_cut1"), labels[0])
+            .when(r <= F.col("_cut2"), labels[1])
+            .otherwise(labels[2]),
+        )
+        .drop("_cut1", "_cut2")
     )

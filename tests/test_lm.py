@@ -147,3 +147,37 @@ def test_dsir_dim_covers_every_bucket(spark):
     assert wdim.count() == 32
     # p == q when target == raw → every log-ratio is exactly 0
     assert wdim.filter(F.abs("log_ratio") > 1e-12).count() == 0
+
+
+def test_ccnet_buckets_terciles(spark):
+    from crawl4ai_spark.operators.lm import ccnet_buckets
+
+    # 9 docs per lang with distinct perplexities -> 3/3/3 terciles
+    rows = [(f"{lang}{i}", lang, float(i)) for lang in ("en", "de") for i in range(9)]
+    scored = spark.createDataFrame(rows, ["doc_id", "lang", "log_ppl"])
+    out = ccnet_buckets(scored)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    for lang in ("en", "de"):
+        for i in range(9):
+            want = "head" if i <= 2 else ("middle" if i <= 5 else "tail")
+            # percentile(1/3) of 0..8 interpolates to 8/3 ~ 2.67: docs 0-2
+            assert got[f"{lang}{i}"] == want, (lang, i)
+    # cutoffs are per-language: shifting one language's scale moves ITS cuts only
+    rows2 = [(f"e{i}", "en", float(i)) for i in range(9)] + [
+        (f"d{i}", "de", 100.0 + i) for i in range(9)
+    ]
+    out2 = {r["doc_id"]: r["bucket"] for r in
+            ccnet_buckets(spark.createDataFrame(rows2, ["doc_id", "lang", "log_ppl"])).collect()}
+    assert out2["d0"] == "head" and out2["e8"] == "tail"
+
+
+def test_ccnet_buckets_broadcast_plan(spark):
+    from crawl4ai_spark.operators.lm import ccnet_buckets
+
+    scored = spark.createDataFrame(
+        [(str(i), "en", float(i)) for i in range(10)], ["doc_id", "lang", "log_ppl"]
+    )
+    out = ccnet_buckets(scored)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # no per-language sort anywhere
