@@ -795,6 +795,40 @@ def q_sample_stratified(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-alpha mixture dim (XLM-R-style n^alpha flattening
+    over sources): one combine-friendly agg + a 1-row broadcast total
+    — the per-group sampling-rate table for corpus re-mixing."""
+    from crawl4ai_spark.operators.sampling import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_weights(docs, "source", alpha=0.5, budget=200.0)
+        .select(
+            "source",
+            "n_docs",
+            F.round("nat_share", 6).alias("nat_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_mixture_sample(spark, sf_dir):
+    """The realized temperature mixture: broadcast the rate dim back,
+    keep rows by their own hash — deterministic at any parallelism,
+    zero corpus-side shuffle."""
+    from crawl4ai_spark.operators.sampling import hash_u01, mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, "source", "doc_id", alpha=0.5, budget=200.0)
+        .select("doc_id", "source", F.round(hash_u01("doc_id"), 6).alias("u01"))
+        .orderBy("doc_id")
+    )
+
+
 def q_sample_budget(spark, sf_dir):
     """Token-budget mixing: admit docs per language in hash order until
     the stratum budget fills — one window per stratum (exact mode)."""
@@ -1795,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "vocab_coverage": q_vocab_coverage,
         "sample_stratified": q_sample_stratified,
+        "mixture_weights": q_mixture_weights,
+        "mixture_sample": q_mixture_sample,
         "sample_budget": q_sample_budget,
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
@@ -3205,6 +3241,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE u01 < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                                   WHEN 'fr' THEN 0.1 ELSE 0.0 END
             ORDER BY doc_id
+        """,
+        "mixture_weights": """
+            WITH c AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     pow(count(*), 0.5) AS pw
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT sum(n_docs)::DOUBLE AS n_total, sum(pw) AS pw_total FROM c
+            )
+            SELECT source, n_docs,
+                   round(n_docs / n_total, 6) AS nat_share,
+                   round(pw / pw_total, 6) AS target_share,
+                   round(least(1.0, 200.0 * (pw / pw_total) / n_docs), 6) AS rate
+            FROM c CROSS JOIN t
+            ORDER BY source
+        """,
+        "mixture_sample": """
+            WITH c AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     pow(count(*), 0.5) AS pw
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT sum(pw) AS pw_total FROM c
+            ), r AS (
+              SELECT source, least(1.0, 200.0 * (pw / pw_total) / n_docs) AS rate
+              FROM c CROSS JOIN t
+            ), u AS (
+              SELECT d.doc_id, d.source, r.rate,
+                     ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS u01
+              FROM documents d JOIN r USING (source)
+            )
+            SELECT doc_id, source, round(u01, 6) AS u01
+            FROM u WHERE u01 < rate ORDER BY doc_id
         """,
         "sample_budget": """
             WITH t AS (

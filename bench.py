@@ -291,6 +291,7 @@ def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
         "dedup_embedding", "label_centroid_sim", "ivf_topk", "adaptive_rank",
         "dedup_clusters", "gopher_repetition", "paragraph_dedup", "cross_doc_dup",
         "pagerank", "decontaminate", "lm_perplexity", "dsir_weights",
+        "ccnet_buckets", "dedup_incremental", "source_reputation",
         "text_stats", "text_quality",
         "lang_id", "interleaved_spans", "url_canonicalize", "url_scores",
         "media_decode",

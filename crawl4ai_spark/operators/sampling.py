@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_u01", "stratified_sample", "budget_sample"]
+__all__ = ["hash_u01", "stratified_sample", "budget_sample", "mixture_weights", "mixture_sample"]
 
 
 def _col(c) -> Column:
@@ -98,3 +98,78 @@ def budget_sample(
     return out.filter(
         (F.col("cum_weight") - _col(weight_col)) < F.col("_budget")
     ).drop("_budget")
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+    budget: float | None = None,
+) -> DataFrame:
+    """Temperature-based mixture weights over groups (sources,
+    languages, domains): target share of group g ∝ n_g^alpha — the
+    multilingual sampling rule of XLM-R/mBERT/mT5 (alpha < 1 flattens
+    the natural distribution toward small groups; alpha = 1 keeps it;
+    alpha = 0 is uniform).
+
+    Output: (group, n_docs, nat_share, target_share[, rate]) — one row
+    per group, a broadcastable dim at any corpus size.  With `budget`
+    (total docs wanted), `rate` = min(1, budget·target_share / n_g) is
+    the per-doc keep probability realizing the mixture WITHOUT
+    upsampling (groups whose quota exceeds their size saturate at 1;
+    the realized total then undershoots by the saturated mass — the
+    standard without-replacement compromise).
+
+    One groupBy agg (combine-friendly counts) + one 1-row total dim
+    riding the plan as a broadcast — no collect, no window.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    counts = counts.withColumn("_pw", pw)
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n_total"), F.sum("_pw").alias("_pw_total")
+    )
+    out = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            (F.col("n_docs") / F.col("_n_total")).alias("nat_share"),
+            (F.col("_pw") / F.col("_pw_total")).alias("target_share"),
+            *(
+                [
+                    F.least(
+                        F.lit(1.0),
+                        F.lit(float(budget)) * (F.col("_pw") / F.col("_pw_total"))
+                        / F.col("n_docs"),
+                    ).alias("rate")
+                ]
+                if budget is not None
+                else []
+            ),
+        )
+    )
+    return out
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    budget: float | None = None,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Resample the corpus to the temperature-alpha mixture: keep each
+    row iff hash_u01(key) < its group's rate.  Deterministic and
+    partitioning-invariant like `stratified_sample`; the rate dim is
+    broadcast so the corpus side never shuffles."""
+    if weights is None:
+        if budget is None:
+            raise ValueError("mixture_sample needs budget or a weights dim")
+        weights = mixture_weights(df, group_col, alpha, budget)
+    dim = weights.select(group_col, "rate")
+    return (
+        df.join(F.broadcast(dim), group_col)
+        .filter(hash_u01(key_col) < F.col("rate"))
+    )

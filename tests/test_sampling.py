@@ -67,3 +67,45 @@ def test_budget_sample_approx_mode(spark):
     # approx plan is window-free (no per-stratum sort)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_mixture_weights_alpha_extremes(spark):
+    from crawl4ai_spark.operators.sampling import mixture_weights
+
+    rows = [(f"d{i}", "big") for i in range(90)] + [(f"s{i}", "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    # alpha=1 keeps the natural distribution
+    w1 = {r["source"]: r for r in mixture_weights(df, alpha=1.0).collect()}
+    assert w1["big"]["target_share"] == pytest.approx(0.9)
+    assert w1["small"]["target_share"] == pytest.approx(0.1)
+
+    # alpha=0 is uniform over groups
+    w0 = {r["source"]: r for r in mixture_weights(df, alpha=0.0).collect()}
+    assert w0["big"]["target_share"] == pytest.approx(0.5)
+    assert w0["small"]["target_share"] == pytest.approx(0.5)
+
+    # 0 < alpha < 1 flattens: small group's share strictly between
+    wa = {r["source"]: r for r in mixture_weights(df, alpha=0.5).collect()}
+    assert 0.1 < wa["small"]["target_share"] < 0.5
+
+    # rate saturates at 1 when a group's quota exceeds its size
+    wr = {r["source"]: r for r in mixture_weights(df, alpha=0.0, budget=80.0).collect()}
+    assert wr["small"]["rate"] == pytest.approx(1.0)  # quota 40 > 10 docs
+    assert wr["big"]["rate"] == pytest.approx(40.0 / 90.0)
+
+
+def test_mixture_sample_deterministic_and_broadcast(spark):
+    from crawl4ai_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, "source", "doc_id", alpha=0.7, budget=100.0)
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  mixture_sample(df.repartition(7), "source", "doc_id",
+                                 alpha=0.7, budget=100.0).collect())
+    assert ids1 == ids2  # partitioning-invariant
+    assert 60 <= len(ids1) <= 140  # ~budget in expectation
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
