@@ -1060,6 +1060,22 @@ def q_reputation_filter(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer fitting, first iteration: adjacent symbol-pair
+    counts over the vocabulary-bounded word-frequency table (the one
+    corpus pass is the word groupBy; the pair table is map-side
+    explode + one keyed sum).  Top-50 pairs, ties lexicographic."""
+    from crawl4ai_spark.operators.bpe import pair_counts, symbolize, word_freq_table
+
+    docs = _t(spark, sf_dir, "documents")
+    wf = word_freq_table(docs, "text").withColumn("syms", symbolize("word"))
+    return (
+        pair_counts(wf)
+        .orderBy(F.desc("count"), F.asc("a"), F.asc("b"))
+        .limit(50)
+    )
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality distribution (exact interpolated
     percentiles — the corpus-health dashboard numbers; at 100 TB the
@@ -1817,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "source_reputation": q_source_reputation,
         "reputation_filter": q_reputation_filter,
+        "bpe_pairs": q_bpe_pairs,
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
@@ -2834,6 +2851,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN rep r USING (source)
             WHERE r.reputation >= 0.68
             ORDER BY d.doc_id
+        """,
+        "bpe_pairs": f"""
+            WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+            wf AS (
+              SELECT word, count(*)::BIGINT AS n
+              FROM (SELECT unnest(words) AS word FROM w) GROUP BY word
+            ),
+            sy AS (
+              SELECT word, n, list_append(string_split(word, ''), '</w>') AS syms
+              FROM wf
+            ),
+            pr AS (
+              SELECT n, syms[i] AS a, syms[i+1] AS b
+              FROM sy, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+              WHERE len(syms) >= 2
+            )
+            SELECT a, b, sum(n) AS count
+            FROM pr GROUP BY a, b
+            ORDER BY count DESC, a ASC, b ASC
+            LIMIT 50
         """,
         "quality_quantiles": """
             WITH w AS (
