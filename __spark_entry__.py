@@ -880,6 +880,28 @@ _SYNTH_EDGES_SQL = """
 """
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-text rollup per link target (how the web describes a
+    page): in-link count, distinct sources, top-3 anchor terms — two
+    keyed aggs + one dst-partitioned bounded-rank window, no global
+    sort.  Anchors here are the source doc's first 3 normalized words
+    over the shared deterministic edge set."""
+    from crawl4ai_spark.operators.graph import anchor_text_rollup
+    from crawl4ai_spark.operators.lm import word_array
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = _synth_link_edges(docs.select("doc_id"), n)
+    anchors = edges.join(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.concat_ws(" ", F.slice(word_array("text"), 1, 3)).alias("anchor"),
+        ),
+        "src",
+    )
+    return anchor_text_rollup(anchors, top_k=3).orderBy("dst", "rank")
+
+
 def q_pagerank(spark, sf_dir):
     """Distributed PageRank (3 fixed power iterations, d=0.85) over the
     deterministic irregular synthetic link graph — the graph signal a
@@ -1823,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "anchor_terms": q_anchor_terms,
         "pagerank": q_pagerank,
         "seed_distance": q_seed_distance,
         "hits_scores": q_hits_scores,
@@ -2505,6 +2528,40 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS pred_lang,
                    greatest(h_en, h_de, h_fr, h_es) AS sw_hits
             FROM h ORDER BY doc_id
+        """,
+        "anchor_terms": f"""
+            WITH d AS (SELECT doc_id FROM documents),
+            nc AS (SELECT count(*) AS c FROM d),
+            {_SYNTH_EDGES_SQL},
+            a AS (
+              SELECT e.src, e.dst,
+                     array_to_string(({words})[1:3], ' ') AS anchor
+              FROM e JOIN (SELECT doc_id, text FROM documents) t
+                ON t.doc_id = e.src
+            ),
+            stats AS (
+              SELECT dst, count(*)::BIGINT AS n_inlinks,
+                     count(DISTINCT src)::BIGINT AS n_sources
+              FROM a GROUP BY dst
+            ),
+            terms AS (
+              SELECT dst, term, count(*)::BIGINT AS term_count
+              FROM (
+                SELECT dst, unnest(list_filter(string_split(anchor, ' '),
+                                               x -> x != '')) AS term
+                FROM a
+              ) GROUP BY dst, term
+            ),
+            top AS (
+              SELECT dst, term, term_count,
+                     row_number() OVER (PARTITION BY dst
+                                        ORDER BY term_count DESC, term ASC) AS rank
+              FROM terms
+            )
+            SELECT t.dst, s.n_inlinks, s.n_sources, t.term, t.term_count, t.rank
+            FROM top t JOIN stats s USING (dst)
+            WHERE t.rank <= 3
+            ORDER BY t.dst, t.rank
         """,
         "pagerank": f"""
             WITH d AS (SELECT doc_id FROM documents),

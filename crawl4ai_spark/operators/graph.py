@@ -16,7 +16,7 @@ convergence thresholds would make the oracle comparison flaky).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "bfs_levels", "hits"]
@@ -201,4 +201,48 @@ def hits(
         hub.select("vid", F.col("s").alias("hub"))
         .join(auth.select("vid", F.col("s").alias("auth")), "vid")
         .select(F.col("vid").alias(id_col), "hub", "auth")
+    )
+
+
+def anchor_text_rollup(
+    edges: DataFrame,
+    dst_col: str = "dst",
+    src_col: str = "src",
+    anchor_col: str = "anchor",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-target anchor-text profile — the classic web-ranking signal
+    (how OTHERS describe a page): for each link target, its in-link
+    count, distinct linking sources, and the top-k anchor terms.
+
+    Output: one row per (dst, term) that survives the top-k cut —
+    (dst, n_inlinks, n_sources, term, term_count, rank), rank 1..k by
+    (count desc, term asc).
+
+    Scale shape: two keyed aggs (dst stats; (dst, term) counts — both
+    combine map-side) and ONE window partitioned by dst for the
+    bounded rank — never a global sort; the window's partition is the
+    target key, so skew follows in-link skew, which the hub-page cap
+    `top_k` bounds on the output side.  Anchor text is tokenized with
+    the corpus normalizer so anchor terms join directly against
+    document term tables (e.g. BM25 dims).
+    """
+    from crawl4ai_spark.operators.lm import word_array
+
+    stats = edges.groupBy(dst_col).agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.count_distinct(F.col(src_col)).alias("n_sources"),
+    )
+    terms = (
+        edges.select(F.col(dst_col), F.explode(word_array(anchor_col)).alias("term"))
+        .groupBy(dst_col, "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+    )
+    w = Window.partitionBy(dst_col).orderBy(F.desc("term_count"), F.asc("term"))
+    top = (
+        terms.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    return top.join(stats, dst_col).select(
+        dst_col, "n_inlinks", "n_sources", "term", "term_count", "rank"
     )

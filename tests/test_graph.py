@@ -82,3 +82,28 @@ def test_hits_one_round_hand_values(spark):
     assert r[3][0] == pytest.approx(0.2)
     assert sum(v[0] for v in r.values()) == pytest.approx(1.0)
     assert sum(v[1] for v in r.values()) == pytest.approx(1.0)
+
+
+def test_anchor_text_rollup(spark):
+    from crawl4ai_spark.operators.graph import anchor_text_rollup
+
+    edges = spark.createDataFrame(
+        [
+            # target 10: 3 in-links from 2 sources; "spark" appears twice
+            (1, 10, "Apache Spark docs"),
+            (2, 10, "spark homepage"),
+            (1, 10, "the engine"),
+            # target 20: one in-link
+            (3, 20, "duckdb"),
+        ],
+        ["src", "dst", "anchor"],
+    )
+    out = anchor_text_rollup(edges, top_k=2)
+    rows = {(r["dst"], r["rank"]): r for r in out.collect()}
+    r1 = rows[(10, 1)]
+    assert r1["term"] == "spark" and r1["term_count"] == 2
+    assert r1["n_inlinks"] == 3 and r1["n_sources"] == 2
+    # rank 2 breaks the 1-count tie lexicographically
+    assert rows[(10, 2)]["term"] == "apache"
+    assert (10, 3) not in rows  # top_k cut
+    assert rows[(20, 1)]["term"] == "duckdb" and rows[(20, 1)]["n_inlinks"] == 1
