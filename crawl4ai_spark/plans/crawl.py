@@ -323,6 +323,7 @@ class CrawlEngine:
         verbose_timing: bool = False,
         materialize_outputs: bool = False,
         bloom_prefilter: bool = False,
+        cuckoo_seen: bool = False,
         capture_plans: bool = False,
         partition_pages: bool = True,
         transport_factory=None,
@@ -414,6 +415,23 @@ class CrawlEngine:
         # × crawled, and overload only raises FP (never correctness).
         cap = min(max(cfg.max_pages, 1), 1 << 24)
         self._bloom_words = max(1 << 12, cap)
+        # cuckoo seen-set tier (operators.cuckoo): the INCREMENTAL,
+        # deletion-capable filter — built once from the seeds, then
+        # per superstep only the fresh hashes are inserted (cogroup on
+        # n_shards rows) and candidates probe via the zero-collect
+        # cogroup path.  vs the bloom tier (rebuilt from the frontier
+        # in-plan each superstep): cuckoo state is O(seen) bytes that
+        # persist ACROSS supersteps — at 10^10 keys the per-superstep
+        # rebuild is the cost you can't pay, incremental insert is.
+        self.cuckoo_seen = bool(cuckoo_seen)
+        self._cuckoo_df: DataFrame | None = None
+        self._cuckoo_shards = self._n_parts
+        # size shards so designed load ≤50% at seen ≈ 4× max_pages;
+        # overload degrades to stash probes, never to correctness
+        m = 1 << 8
+        while m * self._cuckoo_shards * 2 < cap * 4:
+            m <<= 1
+        self._cuckoo_m = m
         # J4 robots gate: closure mode collects the (host → rules) dim
         # into the UDF (fine while robots is broadcast-small); table
         # mode (robots_as_table=True, the 10^8-host scale path) NEVER
@@ -594,9 +612,23 @@ class CrawlEngine:
             frontier = self._ckpt_bucketed(
                 frontier.repartition(self._n_parts, "url_hash")
             )
+        if self.cuckoo_seen:
+            self._cuckoo_init(frontier)
         docs = self._empty(self._DOCS_COLS)
         log = self._empty(self._LOG_COLS)
         return self._loop(frontier, docs, log, state)
+
+    def _cuckoo_init(self, frontier: DataFrame) -> None:
+        """Seed the incremental cuckoo seen-filter from the frontier's
+        url_hash column (run start: seeds; resume: full seen set)."""
+        from crawl4ai_spark.operators.cuckoo import cuckoo_add, empty_cuckoo
+
+        self._cuckoo_df = cuckoo_add(
+            empty_cuckoo(self.spark, self._cuckoo_shards, self._cuckoo_m),
+            frontier.select("url_hash"),
+            hash_col="url_hash",
+            n_shards=self._cuckoo_shards,
+        ).localCheckpoint(eager=True, storageLevel=self._CKPT_HOT_LEVEL)
 
     @staticmethod
     def _union_parts(base: DataFrame, parts: list[DataFrame]) -> DataFrame:
@@ -626,6 +658,11 @@ class CrawlEngine:
             except Exception:
                 pass  # resuming a dict-mode snapshot: start empty
         frontier = self.store.load(self.spark, "frontier")
+        if self.cuckoo_seen:
+            # one distributed rebuild from the snapshot (frontier ⊇
+            # seen); at Iceberg scale the filter table itself would be
+            # snapshotted and loaded instead — same (shard, blob) rows
+            self._cuckoo_init(frontier)
         docs = self.store.load(self.spark, "docs")
         log = self.store.load(self.spark, "crawl_log")
         return self._loop(frontier, docs, log, state)
@@ -1215,7 +1252,24 @@ class CrawlEngine:
                 # BroadcastHashJoin LeftAnti, zero exchanges; beyond
                 # that the hash-partitioned shuffle anti-join takes over
                 seen_hashes = F.broadcast(seen_hashes)
-            if self.bloom_prefilter:
+            if self.cuckoo_seen and self._cuckoo_df is not None:
+                # cuckoo tier: candidates shuffle once on shard and
+                # probe the persistent filter (zero driver collect);
+                # False ⇒ definitely unseen (no false negatives for
+                # inserted keys) routes around the exact anti-join,
+                # True (seen or the ~1e-4 FP floor) goes through it.
+                from crawl4ai_spark.operators.cuckoo import cuckoo_probe_cogroup
+
+                probed = cuckoo_probe_cogroup(
+                    deduped, self._cuckoo_df, hash_col="ch",
+                    n_shards=self._cuckoo_shards, out_col="maybe_seen",
+                )
+                definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                fresh = definitely_new.unionByName(
+                    maybe.join(seen_hashes, "ch", "left_anti")
+                )
+            elif self.bloom_prefilter:
                 bloom = blocked_bloom_build(frontier, "url_hash", self._bloom_words)
                 probed = blocked_bloom_probe(
                     deduped, bloom, "ch", self._bloom_words, out_col="maybe_seen"
@@ -1372,6 +1426,23 @@ class CrawlEngine:
         # entries) — a tight bound keeps the small-N plan shortcuts
         # live as long as they're actually profitable
         state.frontier_ub += n_fresh
+        if self.cuckoo_seen and self._cuckoo_df is not None and n_fresh > 0:
+            # incremental seen-insert: ONLY this superstep's fresh
+            # hashes (incl. capacity-trimmed rows — trimmed is seen)
+            # cogroup into the n_shards filter rows.  Checkpointed so
+            # filter lineage stays one superstep deep, like the
+            # frontier.  (On iteration 0 the seeds re-insert as dup
+            # fingerprints — harmless: probe verdicts are unchanged.)
+            from crawl4ai_spark.operators.cuckoo import cuckoo_add
+
+            prev_cuckoo = self._cuckoo_df
+            self._cuckoo_df = cuckoo_add(
+                prev_cuckoo,
+                frontier_next.filter(F.col("enqueue_iter") == iteration).select("url_hash"),
+                hash_col="url_hash",
+                n_shards=self._cuckoo_shards,
+            ).localCheckpoint(eager=True, storageLevel=self._CKPT_HOT_LEVEL)
+            prev_cuckoo.unpersist()
 
         new_log = step.select(
             F.lit(iteration).alias("iteration"), "url", "depth", "score",

@@ -187,6 +187,22 @@ def test_bloom_prefilter_parity(spark):
     _assert_parity(sim, eng)
 
 
+def test_cuckoo_seen_parity(spark):
+    """The incremental cuckoo seen-filter tier (operators.cuckoo) must
+    not change any crawl observable: no false negatives for inserted
+    keys, false positives only route rows through the exact anti-join,
+    and the per-superstep incremental insert keeps the filter ≡ the
+    frontier's url_hash set at every superstep boundary."""
+    cfg = CrawlConfig(
+        mode="bfs", max_depth=3, max_pages=60, scorer=SCORER,
+        base_budget=2, global_budget=16, max_iterations=40,
+    )
+    pages, robots, seeds, pages_df, robots_df = _build_inputs(spark)
+    sim = simulate_crawl(pages, robots, seeds, cfg)
+    eng = CrawlEngine(spark, cfg, pages_df, robots_df, cuckoo_seen=True).run(seeds)
+    _assert_parity(sim, eng)
+
+
 def test_seen_join_ships_hashes_only(spark):
     """Plan assertion: the seen anti-join's frontier side projects
     ONLY the 8-byte url_hash — no string column shuffles through the
