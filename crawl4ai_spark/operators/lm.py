@@ -75,7 +75,13 @@ def bigram_array(words: Column) -> Column:
 
 
 def _bigrams_long(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(
+    # _rebalance: the explode multiplies per-row work by the token
+    # count — an under-split scan (single parquet row group) would
+    # pipeline the whole corpus onto one task (same hazard as the
+    # minhash shingle explode; see BENCH/SCALING_NOTES.md)
+    from crawl4ai_spark.operators.dedup import _rebalance
+
+    return _rebalance(df, id_col).select(
         F.col(id_col),
         F.explode(bigram_array(word_array(text_col))).alias("bigram"),
     )
@@ -165,9 +171,11 @@ def score_log_perplexity(
 def _features_long(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Unigram + bigram feature stream per document (with repeats —
     DSIR weights count occurrences, not distinct features)."""
+    from crawl4ai_spark.operators.dedup import _rebalance
+
     words = word_array(text_col)
     feats = F.concat(words, bigram_array(words))
-    return df.select(F.col(id_col), F.explode(feats).alias("feat"))
+    return _rebalance(df, id_col).select(F.col(id_col), F.explode(feats).alias("feat"))
 
 
 def _bucket(feat: Column, buckets: int) -> Column:
