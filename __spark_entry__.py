@@ -1148,6 +1148,52 @@ def q_video_frames(spark, sf_dir):
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_revisit_priority(spark, sf_dir):
+    """Freshness-driven recrawl ranking (plans.recrawl
+    change_rate_priority — Cho & Garcia-Molina change-rate estimator):
+    events stand in for a fetch history (user_id = page, value bucket
+    = content signature); staleness = P(changed since last fetch)."""
+    from crawl4ai_spark.plans.recrawl import change_rate_priority
+
+    ev = _t(spark, sf_dir, "events")
+    hist = ev.select(
+        F.col("user_id").alias("page_id"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") / F.lit(50)).cast("long").alias("content_sig"),
+    )
+    out = change_rate_priority(
+        hist, "page_id", "ts", "content_sig", tiebreak_col="event_id"
+    )
+    return out.select(
+        "page_id", "n_obs", "n_changes",
+        F.round(F.col("change_rate") * F.lit(1e6), 6).alias("rate_e6"),
+        F.round("staleness", 6).alias("staleness"),
+    ).orderBy("page_id")
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source (sources/warc): build Common-Crawl-layout archives
+    (one gzip member per record) from the documents table, parse them
+    back through the distributed record parser, and emit byte-level
+    digests the oracle recomputes from the plain table — pinning the
+    framing, member-gzip, and HTTP-unwrap paths end to end."""
+    from crawl4ai_spark.sources.warc import parse_warc, to_warc_members
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("http://docs.test/"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text").alias("payload"),
+    )
+    blobs = to_warc_members(docs, id_col="doc_id")
+    return parse_warc(blobs).select(
+        F.col("source").cast("bigint").alias("doc_id"),
+        "url",
+        F.col("payload_length").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("doc_id")
+
+
 # ── interleaved text+media span documents (the north-rule shape) ─────
 
 def q_interleaved_spans(spark, sf_dir):
@@ -1874,6 +1920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_budget": q_sample_budget,
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
+        "warc_roundtrip": q_warc_roundtrip,
+        "revisit_priority": q_revisit_priority,
         "interleaved_spans": q_interleaved_spans,
         "render_training": q_render_training,
         "span_integrity": q_span_integrity,
@@ -3396,6 +3444,41 @@ def oracle_sql() -> dict[str, str]:
                    round((('0x' || substr(hx, 1, 2))::INT / 255.0), 6) AS f0,
                    round((('0x' || substr(hx, 31, 2))::INT / 255.0), 6) AS f15
             FROM m ORDER BY media_id
+        """,
+        "revisit_priority": """
+            WITH h AS (
+              SELECT user_id AS page_id, ts, event_id,
+                     floor(value / 50)::BIGINT AS sig
+              FROM events
+            ), c AS (
+              SELECT page_id, ts, sig,
+                     CASE WHEN lag(sig) OVER w IS NOT NULL
+                           AND sig <> lag(sig) OVER w THEN 1 ELSE 0 END AS chg
+              FROM h WINDOW w AS (PARTITION BY page_id ORDER BY ts, event_id)
+            ), per AS (
+              SELECT page_id, count(*) AS n_obs, sum(chg) AS n_changes,
+                     floor(date_part('epoch', min(ts)))::BIGINT AS f,
+                     floor(date_part('epoch', max(ts)))::BIGINT AS l
+              FROM c GROUP BY page_id
+            ), nw AS (
+              SELECT floor(date_part('epoch', max(ts)))::BIGINT AS now_s FROM events
+            )
+            SELECT page_id, n_obs, n_changes,
+                   round(CASE WHEN n_obs >= 2 AND l > f
+                     THEN -ln((n_obs - n_changes + 0.5) / (n_obs + 0.5))
+                          / ((l - f) / (n_obs - 1.0)) * 1000000 END, 6) AS rate_e6,
+                   round(CASE WHEN n_obs >= 2 AND l > f
+                     THEN 1.0 - exp(ln((n_obs - n_changes + 0.5) / (n_obs + 0.5))
+                                    / ((l - f) / (n_obs - 1.0)) * (now_s - l))
+                     ELSE 0.0 END, 6) AS staleness
+            FROM per, nw ORDER BY page_id
+        """,
+        "warc_roundtrip": """
+            SELECT doc_id,
+                   'http://docs.test/' || doc_id::VARCHAR AS url,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents ORDER BY doc_id
         """,
         "video_frames": """
             SELECT doc_id, frame_idx FROM (

@@ -115,6 +115,32 @@ def test_forget_expired_deletes_from_cuckoo(spark):
     assert missing == 0
 
 
+def test_change_rate_priority(spark):
+    """Cho & Garcia-Molina estimator on a hand-computable history."""
+    import datetime as dt
+    import math
+
+    from crawl4ai_spark.plans.recrawl import change_rate_priority
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        ("A", s(0), 1), ("A", s(100), 1), ("A", s(200), 2),  # 1 change / I=100
+        ("B", s(250), 7),                                     # single obs
+    ]
+    hist = spark.createDataFrame(rows, "url string, ts timestamp, content_sig int")
+    got = {r["url"]: r for r in change_rate_priority(hist).collect()}
+
+    lam = -math.log((3 - 1 + 0.5) / (3 + 0.5)) / 100.0
+    stale = 1.0 - math.exp(-lam * (250 - 200))
+    assert got["A"]["n_obs"] == 3 and got["A"]["n_changes"] == 1
+    assert abs(got["A"]["change_rate"] - lam) < 1e-12
+    assert abs(got["A"]["staleness"] - stale) < 1e-12
+    # single observation: unknown rate, zero staleness
+    assert got["B"]["change_rate"] is None
+    assert got["B"]["staleness"] == 0.0
+
+
 def test_expiry_predicate_and_cache_eviction(spark):
     cache = spark.createDataFrame(
         [("http://h.test/a", "http://h.test/a", 200, "<html>a</html>", 1),
