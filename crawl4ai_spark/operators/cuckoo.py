@@ -96,10 +96,13 @@ def _derive(h1: np.ndarray, m: int):
 
 
 def _alt_offset(fp: np.ndarray | int) -> np.ndarray | np.int64:
-    """mix32(fp) — the partner-bucket xor offset.  uint16→uint32 mul
-    wraps mod 2^32 (numpy semantics), matching on both insert+probe."""
-    mixed = (np.uint32(fp) * _MIX) & np.uint32(0xFFFFFFFF)
-    return np.int64(mixed)
+    """mix32(fp) — the partner-bucket xor offset.  Computed in uint64
+    with an explicit 2^32 mask so the vectorized (probe/insert) and
+    scalar (eviction-loop) paths agree without overflow wrap-around."""
+    if isinstance(fp, np.ndarray):
+        mixed = (fp.astype(np.uint64) * np.uint64(int(_MIX))) & np.uint64(0xFFFFFFFF)
+        return mixed.astype(np.int64)
+    return np.int64((int(fp) * int(_MIX)) & 0xFFFFFFFF)
 
 
 def _unpack(table_blob: bytes, stash_blob: bytes):
