@@ -1148,6 +1148,36 @@ def q_video_frames(spark, sf_dir):
     ).orderBy("doc_id", "frame_idx")
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF processor (extraction/pdf, reference processors/pdf):
+    documents → one-page PDFs via the subset writer (FlateDecode
+    streams, xref, Info dict) → distributed parse back → per-page
+    digests the oracle recomputes from the plain table.  Pins the
+    writer/reader pair byte-exactly (escapes, unicode, streams)."""
+    from crawl4ai_spark.extraction.pdf import build_simple_pdf, pdf_extract_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf_b in batches:
+            rows = [
+                {"doc_id": did, "pdf": build_simple_pdf([str(text)])}
+                for did, text in zip(pdf_b["doc_id"], pdf_b["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    blobs = docs.mapInPandas(gen, "doc_id long, pdf binary")
+    pages = pdf_extract_pages(blobs)
+    return pages.select(
+        "doc_id",
+        "page_number",
+        F.col("n_chars"),
+        F.md5(F.encode("raw_text", "UTF-8")).alias("raw_md5"),
+    ).orderBy("doc_id")
+
+
 def q_revisit_priority(spark, sf_dir):
     """Freshness-driven recrawl ranking (plans.recrawl
     change_rate_priority — Cho & Garcia-Molina change-rate estimator):
@@ -1921,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "video_frames": q_video_frames,
         "warc_roundtrip": q_warc_roundtrip,
+        "pdf_extract": q_pdf_extract,
         "revisit_priority": q_revisit_priority,
         "interleaved_spans": q_interleaved_spans,
         "render_training": q_render_training,
@@ -3444,6 +3475,12 @@ def oracle_sql() -> dict[str, str]:
                    round((('0x' || substr(hx, 1, 2))::INT / 255.0), 6) AS f0,
                    round((('0x' || substr(hx, 31, 2))::INT / 255.0), 6) AS f15
             FROM m ORDER BY media_id
+        """,
+        "pdf_extract": """
+            SELECT doc_id, 1 AS page_number,
+                   length(text)::BIGINT AS n_chars,
+                   md5(text) AS raw_md5
+            FROM documents ORDER BY doc_id
         """,
         "revisit_priority": """
             WITH h AS (
