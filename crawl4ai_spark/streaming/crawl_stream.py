@@ -1,0 +1,223 @@
+"""Always-on crawl as Structured Streaming: a self-feeding frontier.
+
+The batch engine (plans/crawl.py) runs supersteps in a driver loop;
+the streaming form makes the frontier ITSELF the stream: a parquet
+directory is simultaneously the file-stream SOURCE of pending URLs
+and the SINK where each micro-batch appends the links it discovers —
+Spark's file source picks the new files up as the next batch, so the
+crawl sustains itself until no batch discovers anything new.  That
+gives the always-on deployment the reference's `arun(stream=True)`
+users expect (results appear incrementally in the docs directory),
+and a one-line run-to-exhaustion mode: `query.processAllAvailable()`
+returns exactly when the frontier drains.
+
+Per micro-batch (inside foreachBatch — each step is the same plan
+shape as one engine superstep):
+
+    pending ─dedup─ cuckoo-probe ─→ definitely-new ─┐
+                    └─ maybe ─ anti-join(seen) ─────┴─ fresh
+    fresh → mark seen (parquet append + cuckoo insert)
+          → fetch (corpus join / transport seam)
+          → ONE fused Arrow extract UDF
+          → docs append (interleaved span rows)
+          → discovered links (depth+1 ≤ max_depth) → frontier append
+
+State: the seen set is a parquet directory + the incremental cuckoo
+filter (operators/cuckoo) — the deletion-capable tier, so a recrawl
+pass (plans/recrawl) can forget URLs between runs; the filter routes
+most candidates around the seen-table scan.  Exactly-once: the
+file-stream checkpoint makes frontier files process-once; the seen
+anti-join makes replays idempotent (a replayed batch re-discovers
+nothing fresh).
+
+Scale notes: identical join/UDF shapes to the batch engine (which is
+the tuned path — politeness admission, budgets, bucketed state); this
+driver trades those controls for always-on incremental delivery.
+Ordering is micro-batch BFS-like; the invariants (URL-seen set,
+per-document span sequences) match the batch engine exactly and are
+pinned by tests/test_crawl_stream.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from crawl4ai_spark.plans.crawl import make_step_udf, spans_struct
+from crawl4ai_spark.functions.urlnorm import get_host
+from crawl4ai_spark.operators.cuckoo import (
+    cuckoo_add,
+    cuckoo_probe_cogroup,
+    empty_cuckoo,
+)
+
+__all__ = ["StreamingCrawl"]
+
+_FRONTIER_SCHEMA = "url string, host string, depth int"
+
+
+class StreamingCrawl:
+    """Self-feeding streaming crawl over a corpus table.
+
+    `pages` must carry (url, status_code, html) — the synthetic corpus
+    or any fetched-page table; production swaps the corpus join for
+    the transport UDF exactly like the batch engine's fetch seam."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        workdir: str,
+        max_depth: int = 3,
+        user_agent: str = "crawl4ai-spark",
+        markdown_dialect: str = "house",
+        cuckoo_shards: int = 8,
+        cuckoo_buckets: int = 1 << 10,
+    ) -> None:
+        self.spark = spark
+        self.pages = pages.select("url", "status_code", "html")
+        self.max_depth = int(max_depth)
+        self.frontier_dir = os.path.join(workdir, "frontier")
+        self.seen_dir = os.path.join(workdir, "seen")
+        self.docs_dir = os.path.join(workdir, "docs")
+        self.ckpt_dir = os.path.join(workdir, "_checkpoint")
+        os.makedirs(self.frontier_dir, exist_ok=True)
+        self._step_udf = make_step_udf(
+            None, user_agent, markdown_dialect=markdown_dialect
+        )
+        self._cuckoo_shards = cuckoo_shards
+        self._cuckoo = empty_cuckoo(spark, cuckoo_shards, cuckoo_buckets)
+        self._query = None
+
+    # ── lifecycle ────────────────────────────────────────────────────
+
+    def seed(self, urls: list[str]) -> None:
+        rows = [(u, get_host(u), 0) for u in dict.fromkeys(urls)]
+        self.spark.createDataFrame(rows, _FRONTIER_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.frontier_dir)
+
+    def start(self, max_files_per_trigger: int = 16):
+        stream = (
+            self.spark.readStream.schema(_FRONTIER_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(self.frontier_dir)
+        )
+        self._query = (
+            stream.writeStream.foreachBatch(self._step)
+            .option("checkpointLocation", self.ckpt_dir)
+            .start()
+        )
+        return self._query
+
+    def run_to_exhaustion(self) -> None:
+        """Block until the frontier drains (no batch discovers new
+        URLs), then stop the query."""
+        q = self._query or self.start()
+        q.processAllAvailable()
+        q.stop()
+
+    # ── results ──────────────────────────────────────────────────────
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_dir)
+
+    def seen(self) -> DataFrame:
+        return self.spark.read.parquet(self.seen_dir)
+
+    # ── one micro-batch ≡ one engine superstep ───────────────────────
+
+    def _read_seen(self) -> DataFrame | None:
+        try:
+            return self.spark.read.parquet(self.seen_dir).select("url")
+        except Exception:
+            return None  # first batch: nothing marked yet
+
+    def _step(self, batch: DataFrame, epoch: int) -> None:
+        batch = batch.dropDuplicates(["url"])
+        seen = self._read_seen()
+        if seen is None:
+            fresh = batch
+        else:
+            # cuckoo tier: definitely-new rows skip the seen-table
+            # scan entirely; only `maybe` rows pay the exact anti-join
+            probed = cuckoo_probe_cogroup(
+                batch.withColumn("_h", F.xxhash64("url")),
+                self._cuckoo,
+                hash_col="_h",
+                n_shards=self._cuckoo_shards,
+            )
+            new_part = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h")
+            fresh = new_part.unionByName(maybe.join(seen, "url", "left_anti"))
+        fresh = fresh.localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            return
+
+        # mark seen FIRST (parquet + cuckoo) so a replay of this batch
+        # discovers nothing fresh (idempotence under retries)
+        fresh.select("url").write.mode("append").parquet(self.seen_dir)
+        self._cuckoo = cuckoo_add(
+            self._cuckoo,
+            fresh.select(F.xxhash64("url").alias("url_hash")),
+            hash_col="url_hash",
+            n_shards=self._cuckoo_shards,
+        ).localCheckpoint(eager=True)
+
+        fetched = fresh.join(self.pages, "url", "left").select(
+            "url", "host", "depth",
+            F.coalesce("status_code", F.lit(0)).alias("eff_status"),
+            F.col("html").alias("eff_html"),
+        )
+        step = fetched.select(
+            "url", "host", "depth", "eff_status",
+            self._step_udf(
+                F.col("url"), F.col("host"), F.col("url"),
+                F.col("eff_html"), F.col("eff_status"),
+                F.lit(None).cast("string"),
+            ).alias("ex"),
+        ).localCheckpoint(eager=True)
+
+        (
+            step.filter((F.col("eff_status") == 200) & F.col("ex.success"))
+            .select(
+                F.col("url").alias("doc_id"),
+                spans_struct(F.col("ex")).cast(
+                    "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+                ).alias("spans"),
+                F.col("ex.raw_markdown").alias("raw_markdown"),
+                F.lit(int(epoch)).alias("epoch"),
+            )
+            .write.mode("append")
+            .parquet(self.docs_dir)
+        )
+
+        if self.max_depth <= 0:
+            return
+        links = (
+            step.filter((F.col("eff_status") == 200) & (F.col("depth") < self.max_depth))
+            .select(
+                F.col("depth"),
+                F.explode(
+                    F.arrays_zip(
+                        F.col("ex.pl_canon").alias("canon"),
+                        F.col("ex.pl_host").alias("lhost"),
+                    )
+                ).alias("l"),
+            )
+            .select(
+                F.col("l.canon").alias("url"),
+                F.col("l.lhost").alias("host"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .filter(F.col("url").isNotNull())
+            .dropDuplicates(["url"])
+        )
+        # best-effort pre-filter (the next batch's seen gate is the
+        # real one): keeps frontier files from refilling with knowns
+        links = links.join(self.seen().select("url"), "url", "left_anti")
+        links = links.localCheckpoint(eager=True)
+        if not links.isEmpty():
+            links.write.mode("append").parquet(self.frontier_dir)

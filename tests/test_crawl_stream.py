@@ -1,0 +1,74 @@
+"""Self-feeding streaming crawl (streaming/crawl_stream): runs to
+frontier exhaustion and matches the batch engine's URL-seen set and
+per-document span sequences on the same corpus (the north-rule
+invariants; ordering is micro-batch-dependent by design)."""
+
+from __future__ import annotations
+
+from crawl4ai_spark.plans.config import CrawlConfig
+from crawl4ai_spark.plans.crawl import CrawlEngine
+from crawl4ai_spark.sources.synthetic_web import (
+    WebConfig, seed_urls, synthetic_pages_pdf,
+)
+from crawl4ai_spark.streaming.crawl_stream import StreamingCrawl
+
+# all-200 web (fault_every huge): the streaming driver trades the
+# engine's redirect/retry handling for always-on delivery, so parity
+# is pinned on the clean-web invariants
+WEB = WebConfig(n_pages=150, n_hosts=4, seed=13, fault_every=10**9)
+
+
+def test_stream_matches_batch_engine(spark, tmp_path):
+    pages = spark.createDataFrame(synthetic_pages_pdf(WEB)).cache()
+    seeds = seed_urls(WEB, 4)
+
+    cfg = CrawlConfig(
+        mode="bfs", max_depth=3, max_pages=10_000, base_budget=1_000,
+        global_budget=10_000, max_iterations=50, respect_robots=False,
+        track_host_state=False,
+    )
+    batch = CrawlEngine(spark, cfg, pages, None).run(seeds)
+    batch_seen = {r["url"] for r in batch.seen.select("url").collect()}
+    batch_docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in batch.docs.select("doc_id", "spans").collect()
+    }
+
+    sc = StreamingCrawl(spark, pages, str(tmp_path / "crawl"), max_depth=3)
+    sc.seed(seeds)
+    sc.run_to_exhaustion()
+
+    stream_seen = {r["url"] for r in sc.seen().collect()}
+    assert stream_seen == batch_seen
+
+    stream_docs = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in sc.docs().select("doc_id", "spans").collect()
+    }
+    assert set(stream_docs) == set(batch_docs)
+    for did, spans in batch_docs.items():
+        assert stream_docs[did] == spans, did
+    # docs arrived across multiple micro-batches (really incremental)
+    epochs = {r["epoch"] for r in sc.docs().select("epoch").collect()}
+    assert len(epochs) >= 2
+
+
+def test_stream_is_idempotent_on_reseed(spark, tmp_path):
+    """Re-seeding already-crawled URLs discovers nothing new — the
+    seen gate makes replays/duplicates no-ops."""
+    pages = spark.createDataFrame(synthetic_pages_pdf(WEB)).cache()
+    seeds = seed_urls(WEB, 3)
+    sc = StreamingCrawl(spark, pages, str(tmp_path / "crawl2"), max_depth=1)
+    sc.seed(seeds)
+    sc.run_to_exhaustion()
+    n_docs = sc.docs().count()
+    n_seen = sc.seen().count()
+
+    sc2 = StreamingCrawl(spark, pages, str(tmp_path / "crawl2"), max_depth=1)
+    sc2.seed(seeds)  # same URLs again
+    sc2._cuckoo = sc._cuckoo  # carry the filter (same run directory)
+    sc2.run_to_exhaustion()
+    assert sc2.docs().count() == n_docs
+    assert sc2.seen().count() == n_seen
