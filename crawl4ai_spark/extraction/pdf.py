@@ -225,9 +225,14 @@ def _extract_text_ops(content: bytes) -> str:
     parts: list[str] = []
     pending_strings: list[bytes] = []
     i, n = 0, len(content)
+    first_move = True  # the first Td/TD/Tm after BT positions the
+    #                    cursor; only subsequent moves are line breaks
 
     def newline() -> None:
-        if parts and parts[-1] != "\n":
+        nonlocal first_move
+        if first_move:
+            first_move = False
+        else:
             parts.append("\n")
 
     def show() -> None:
@@ -266,6 +271,8 @@ def _extract_text_ops(content: bytes) -> str:
             elif op == b'"':
                 newline()
                 show()
+            elif op == b"BT":
+                first_move = True
             elif op == b"ET":
                 pending_strings.clear()
         else:
@@ -330,7 +337,7 @@ def parse_pdf(blob: bytes) -> tuple[dict, list[str]]:
             content = _stream_of(objs[int(mref.group(1))]) or b""
         elif _STREAM_RE.search(objs[pn]):
             content = _stream_of(objs[pn]) or b""
-        texts.append(_extract_text_ops(content).rstrip("\n"))
+        texts.append(_extract_text_ops(content))
 
     meta: dict = {"title": None, "author": None, "producer": None,
                   "n_pages": len(texts)}
