@@ -75,6 +75,7 @@ class StreamingCrawl:
         markdown_dialect: str = "house",
         cuckoo_shards: int = 8,
         cuckoo_buckets: int = 1 << 10,
+        host_budget: int | None = None,
     ) -> None:
         self.spark = spark
         self.pages = pages.select("url", "status_code", "html")
@@ -89,6 +90,20 @@ class StreamingCrawl:
         )
         self._cuckoo_shards = cuckoo_shards
         self._cuckoo = empty_cuckoo(spark, cuckoo_shards, cuckoo_buckets)
+        # P1 politeness in streaming form: at most `host_budget` URLs
+        # per host are admitted per micro-batch; the overflow is
+        # re-queued to the frontier directory and comes around in a
+        # later batch — the trigger interval IS the politeness window
+        # (the engine's admission-budget analogue; None = unbounded).
+        # SEMANTICS NOTE: deferral makes crawl order non-BFS, and a
+        # page first reached through a longer route carries that
+        # route's depth — so with a BINDING max_depth the reachable
+        # set is order-dependent (the batch engine's level-ordered
+        # admission guarantees minimal depths; streaming trades that
+        # for always-on delivery).  Shallowest-first admission and
+        # min-depth batch dedup (below) minimize the inflation; with a
+        # non-binding depth cap the crawled set is order-independent.
+        self.host_budget = host_budget
         self._query = None
 
     # ── lifecycle ────────────────────────────────────────────────────
@@ -136,7 +151,13 @@ class StreamingCrawl:
             return None  # first batch: nothing marked yet
 
     def _step(self, batch: DataFrame, epoch: int) -> None:
-        batch = batch.dropDuplicates(["url"])
+        # within-batch dedup keeps the MIN depth per url (the engine's
+        # first-discovery-wins analogue: under deferral the same url
+        # can be pending at several depths; the shallowest is the one
+        # BFS would have recorded)
+        batch = batch.groupBy("url").agg(
+            F.min("depth").alias("depth"), F.first("host").alias("host")
+        )
         seen = self._read_seen()
         if seen is None:
             fresh = batch
@@ -152,6 +173,20 @@ class StreamingCrawl:
             new_part = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "_h")
             maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "_h")
             fresh = new_part.unionByName(maybe.join(seen, "url", "left_anti"))
+        if self.host_budget is not None:
+            # keyed rank (partitioned window — never global): admit
+            # `host_budget` per host, defer the rest to a later batch
+            from pyspark.sql import Window
+
+            # shallowest-first admission: deferral then inflates depth
+            # as little as possible (see politeness note below)
+            w = Window.partitionBy("host").orderBy("depth", "url")
+            ranked = fresh.withColumn("_rk", F.row_number().over(w))
+            deferred = ranked.filter(F.col("_rk") > self.host_budget).drop("_rk")
+            fresh = ranked.filter(F.col("_rk") <= self.host_budget).drop("_rk")
+            deferred = deferred.localCheckpoint(eager=True)
+            if not deferred.isEmpty():
+                deferred.write.mode("append").parquet(self.frontier_dir)
         fresh = fresh.localCheckpoint(eager=True)
         if fresh.isEmpty():
             return

@@ -55,6 +55,41 @@ def test_stream_matches_batch_engine(spark, tmp_path):
     assert len(epochs) >= 2
 
 
+def test_stream_host_budget_politeness(spark, tmp_path):
+    """host_budget caps per-host admissions per micro-batch (overflow
+    re-queues) without changing WHAT gets crawled."""
+    import pyspark.sql.functions as F
+
+    pages = spark.createDataFrame(synthetic_pages_pdf(WEB)).cache()
+    seeds = seed_urls(WEB, 4)
+
+    # non-binding depth cap: with deferral, depth is path-dependent
+    # (documented in crawl_stream.py), so set parity holds exactly
+    # when the cap doesn't bind
+    free = StreamingCrawl(spark, pages, str(tmp_path / "free"), max_depth=8)
+    free.seed(seeds)
+    free.run_to_exhaustion()
+
+    polite = StreamingCrawl(
+        spark, pages, str(tmp_path / "polite"), max_depth=8, host_budget=3
+    )
+    polite.seed(seeds)
+    polite.run_to_exhaustion()
+
+    assert ({r["url"] for r in polite.seen().collect()}
+            == {r["url"] for r in free.seen().collect()})
+    # per (epoch, host) admissions never exceed the budget
+    per = (
+        polite.docs()
+        .withColumn("host", F.regexp_extract("doc_id", r"https?://([^/]+)/", 1))
+        .groupBy("epoch", "host").count()
+    )
+    assert per.filter(F.col("count") > 3).count() == 0
+    # and the polite run needed more micro-batches
+    assert (polite.docs().agg(F.max("epoch")).collect()[0][0]
+            > free.docs().agg(F.max("epoch")).collect()[0][0])
+
+
 def test_stream_is_idempotent_on_reseed(spark, tmp_path):
     """Re-seeding already-crawled URLs discovers nothing new — the
     seen gate makes replays/duplicates no-ops."""
