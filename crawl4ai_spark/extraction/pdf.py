@@ -134,7 +134,11 @@ def build_simple_pdf(
 # ── stdlib subset reader ─────────────────────────────────────────────
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# direct lengths only: `/Length 7 0 R` is an indirect REFERENCE whose
+# first integer is an object number, not a byte count — treating it as
+# one would mis-slice the stream; the lookahead rejects the `N R` form
+# so those streams fall back to the endstream scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)\b")
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 
 

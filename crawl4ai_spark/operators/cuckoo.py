@@ -229,68 +229,80 @@ def _with_shard(df: DataFrame, key_col: str, n_shards: int, hash_col: str | None
 def empty_cuckoo(spark, n_shards: int = 16, m_buckets: int = 1 << 12) -> DataFrame:
     """All-shards-empty filter table (n_shards rows, m_buckets·SLOTS
     uint16 slots per shard ⇒ capacity ≈ 0.5·n_shards·m_buckets·SLOTS
-    keys at the designed 50% load)."""
-    empty_tab = np.zeros((m_buckets, SLOTS), dtype=np.uint16).tobytes()
-    empty_stash = b""
-    rows = [(i, bytearray(empty_tab), bytearray(empty_stash)) for i in range(n_shards)]
-    return spark.createDataFrame(rows, CUCKOO_SCHEMA)
+    keys at the designed 50% load).  Blobs are built EXECUTOR-side
+    (mapInPandas over a range) — at the sized maximum a shard blob is
+    MBs and n_shards of them must not round-trip through the driver."""
+    n_bytes = m_buckets * SLOTS * 2
+
+    def gen(batches: "pd.DataFrame") -> "pd.DataFrame":
+        for pdf in batches:
+            yield pd.DataFrame({
+                "shard": pdf["id"].astype("int32"),
+                "table": [bytes(n_bytes)] * len(pdf),
+                "stash": [b""] * len(pdf),
+            })
+
+    return spark.range(n_shards).mapInPandas(gen, CUCKOO_SCHEMA)
+
+
+def _shard_count(filt: DataFrame) -> int:
+    """The filter's shard count IS its row count — derive it instead
+    of trusting callers to re-supply the construction parameter (a
+    silent mismatch routes keys to shards that don't exist)."""
+    return filt.count()
+
+
+def _cogroup_update(
+    filt: DataFrame, keys: DataFrame, key_col: str,
+    n_shards: int | None, hash_col: str | None, kernel,
+) -> DataFrame:
+    """Shared cogroup plan for add/delete: keys shuffle once on shard;
+    a shard that received NO keys passes its blob through UNTOUCHED
+    (no unpack/repack — the per-superstep cost is O(touched shards),
+    not O(filter bytes))."""
+    if n_shards is None:
+        n_shards = _shard_count(filt)
+    hashed = _with_shard(keys, key_col, n_shards, hash_col).select("_shard", "_h1")
+
+    def upd(fkey, fpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
+        if fpdf.empty:  # keys routed outside the filter: impossible by pmod
+            return pd.DataFrame(columns=["shard", "table", "stash"])
+        if kpdf.empty:  # untouched shard: blob passes through verbatim
+            return fpdf[["shard", "table", "stash"]]
+        tab, stash = _unpack(bytes(fpdf["table"].iloc[0]), bytes(fpdf["stash"].iloc[0]))
+        stash = kernel(tab, stash, kpdf["_h1"].to_numpy(dtype=np.int64))
+        tb, sb = _pack(tab, stash)
+        return pd.DataFrame({"shard": [int(fkey[0])], "table": [tb], "stash": [sb]})
+
+    return (
+        filt.groupBy("shard")
+        .cogroup(hashed.groupBy("_shard"))
+        .applyInPandas(upd, CUCKOO_SCHEMA)
+    )
 
 
 def cuckoo_add(
     filt: DataFrame, keys: DataFrame, key_col: str = "url",
-    n_shards: int = 16, hash_col: str | None = None,
+    n_shards: int | None = None, hash_col: str | None = None,
 ) -> DataFrame:
     """Incrementally insert `keys` → new filter table (the old one is
     untouched: state is immutable-snapshot style, like the frontier).
-
-    Plan shape: keys shuffle once on shard; the filter side is
-    n_shards rows.  cogroup-applyInPandas per shard — each shard's
-    blob is rewritten only if it received keys."""
-    hashed = _with_shard(keys, key_col, n_shards, hash_col).select("_shard", "_h1")
-
-    def upd(fkey, fpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
-        if fpdf.empty:  # keys routed to a shard id outside the filter: impossible by pmod
-            return pd.DataFrame(columns=["shard", "table", "stash"])
-        tab, stash = _unpack(bytes(fpdf["table"].iloc[0]), bytes(fpdf["stash"].iloc[0]))
-        if not kpdf.empty:
-            stash = _insert_shard(tab, stash, kpdf["_h1"].to_numpy(dtype=np.int64))
-        tb, sb = _pack(tab, stash)
-        return pd.DataFrame({"shard": [int(fkey[0])], "table": [tb], "stash": [sb]})
-
-    return (
-        filt.groupBy("shard")
-        .cogroup(hashed.groupBy("_shard"))
-        .applyInPandas(upd, CUCKOO_SCHEMA)
-    )
+    `n_shards=None` derives the count from the filter itself."""
+    return _cogroup_update(filt, keys, key_col, n_shards, hash_col, _insert_shard)
 
 
 def cuckoo_delete(
     filt: DataFrame, keys: DataFrame, key_col: str = "url",
-    n_shards: int = 16, hash_col: str | None = None,
+    n_shards: int | None = None, hash_col: str | None = None,
 ) -> DataFrame:
     """Remove `keys` (must have been inserted — see module caveat).
     Same cogroup plan shape as `cuckoo_add`."""
-    hashed = _with_shard(keys, key_col, n_shards, hash_col).select("_shard", "_h1")
-
-    def upd(fkey, fpdf: pd.DataFrame, kpdf: pd.DataFrame) -> pd.DataFrame:
-        if fpdf.empty:
-            return pd.DataFrame(columns=["shard", "table", "stash"])
-        tab, stash = _unpack(bytes(fpdf["table"].iloc[0]), bytes(fpdf["stash"].iloc[0]))
-        if not kpdf.empty:
-            stash = _delete_shard(tab, stash, kpdf["_h1"].to_numpy(dtype=np.int64))
-        tb, sb = _pack(tab, stash)
-        return pd.DataFrame({"shard": [int(fkey[0])], "table": [tb], "stash": [sb]})
-
-    return (
-        filt.groupBy("shard")
-        .cogroup(hashed.groupBy("_shard"))
-        .applyInPandas(upd, CUCKOO_SCHEMA)
-    )
+    return _cogroup_update(filt, keys, key_col, n_shards, hash_col, _delete_shard)
 
 
 def cuckoo_probe(
     df: DataFrame, filt: DataFrame, key_col: str = "url",
-    n_shards: int = 16, hash_col: str | None = None,
+    n_shards: int | None = None, hash_col: str | None = None,
     out_col: str = "maybe_seen",
 ) -> DataFrame:
     """Broadcast probe: adds boolean `out_col` (False ⇒ definitely not
@@ -300,6 +312,8 @@ def cuckoo_probe(
         int(r["shard"]): _unpack(bytes(r["table"]), bytes(r["stash"]))
         for r in filt.collect()
     }
+    if n_shards is None:
+        n_shards = len(blobs)
     bc = df.sparkSession.sparkContext.broadcast(blobs)
 
     from pyspark.sql.pandas.functions import pandas_udf
@@ -326,7 +340,7 @@ def cuckoo_probe(
 
 def cuckoo_probe_cogroup(
     df: DataFrame, filt: DataFrame, key_col: str = "url",
-    n_shards: int = 16, hash_col: str | None = None,
+    n_shards: int | None = None, hash_col: str | None = None,
     out_col: str = "maybe_seen",
 ) -> DataFrame:
     """Distributed probe with ZERO driver collect: candidates shuffle
@@ -336,6 +350,8 @@ def cuckoo_probe_cogroup(
 
     Output = input columns + `out_col` (row order not preserved —
     it's a shuffle; join semantics, like every distributed probe)."""
+    if n_shards is None:
+        n_shards = _shard_count(filt)
     hashed = _with_shard(df, key_col, n_shards, hash_col)
     out_schema = StructType(list(hashed.schema.fields) + [StructField(out_col, BooleanType())])
 

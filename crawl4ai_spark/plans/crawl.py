@@ -1252,33 +1252,30 @@ class CrawlEngine:
                 # BroadcastHashJoin LeftAnti, zero exchanges; beyond
                 # that the hash-partitioned shuffle anti-join takes over
                 seen_hashes = F.broadcast(seen_hashes)
+            def _route_probed(probed: DataFrame) -> DataFrame:
+                # shared prefilter routing: False ⇒ definitely unseen
+                # (no false negatives for inserted keys) bypasses the
+                # exact anti-join; True (seen or the FP floor) pays it
+                definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+                maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+                return definitely_new.unionByName(
+                    maybe.join(seen_hashes, "ch", "left_anti")
+                )
+
             if self.cuckoo_seen and self._cuckoo_df is not None:
                 # cuckoo tier: candidates shuffle once on shard and
-                # probe the persistent filter (zero driver collect);
-                # False ⇒ definitely unseen (no false negatives for
-                # inserted keys) routes around the exact anti-join,
-                # True (seen or the ~1e-4 FP floor) goes through it.
+                # probe the persistent filter (zero driver collect)
                 from crawl4ai_spark.operators.cuckoo import cuckoo_probe_cogroup
 
-                probed = cuckoo_probe_cogroup(
+                fresh = _route_probed(cuckoo_probe_cogroup(
                     deduped, self._cuckoo_df, hash_col="ch",
                     n_shards=self._cuckoo_shards, out_col="maybe_seen",
-                )
-                definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-                maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-                fresh = definitely_new.unionByName(
-                    maybe.join(seen_hashes, "ch", "left_anti")
-                )
+                ))
             elif self.bloom_prefilter:
                 bloom = blocked_bloom_build(frontier, "url_hash", self._bloom_words)
-                probed = blocked_bloom_probe(
+                fresh = _route_probed(blocked_bloom_probe(
                     deduped, bloom, "ch", self._bloom_words, out_col="maybe_seen"
-                )
-                definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-                maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-                fresh = definitely_new.unionByName(
-                    maybe.join(seen_hashes, "ch", "left_anti")
-                )
+                ))
             else:
                 fresh = deduped.join(seen_hashes, "ch", "left_anti")
             if self.capture_plans:

@@ -58,7 +58,7 @@ def reenqueue_expired(frontier: DataFrame, expired: DataFrame) -> DataFrame:
     depth / score, so a resumed BFS revisits in the original
     discovery order after any still-pending work."""
     marked = frontier.join(
-        expired.select(F.col("url").alias("_xu")),
+        expired.select(F.col("url").alias("_xu")).distinct(),
         frontier["url"] == F.col("_xu"),
         "left",
     )
@@ -78,7 +78,7 @@ def forget_expired(
     frontier: DataFrame,
     expired: DataFrame,
     seen_filter: DataFrame | None = None,
-    n_shards: int = 16,
+    n_shards: int | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Drop expired rows from the frontier and (when a cuckoo filter
     is maintained) delete their hashes from it, so rediscovered links

@@ -90,6 +90,18 @@ class StreamingCrawl:
         )
         self._cuckoo_shards = cuckoo_shards
         self._cuckoo = empty_cuckoo(spark, cuckoo_shards, cuckoo_buckets)
+        # restart on an existing workdir (the stream checkpoint's
+        # resume flow): the seen directory persists but the filter is
+        # process state — rebuild it, else previously-seen URLs probe
+        # as definitely-new and bypass the exact anti-join (re-crawl)
+        prior = self._read_seen()
+        if prior is not None:
+            self._cuckoo = cuckoo_add(
+                self._cuckoo,
+                prior.select(F.xxhash64("url").alias("url_hash")),
+                hash_col="url_hash",
+                n_shards=cuckoo_shards,
+            ).localCheckpoint(eager=True)
         # P1 politeness in streaming form: at most `host_budget` URLs
         # per host are admitted per micro-batch; the overflow is
         # re-queued to the frontier directory and comes around in a

@@ -101,9 +101,10 @@ def test_stream_is_idempotent_on_reseed(spark, tmp_path):
     n_docs = sc.docs().count()
     n_seen = sc.seen().count()
 
+    # a REAL restart: new object, same workdir — the filter must
+    # rebuild itself from the persisted seen directory
     sc2 = StreamingCrawl(spark, pages, str(tmp_path / "crawl2"), max_depth=1)
     sc2.seed(seeds)  # same URLs again
-    sc2._cuckoo = sc._cuckoo  # carry the filter (same run directory)
     sc2.run_to_exhaustion()
     assert sc2.docs().count() == n_docs
     assert sc2.seen().count() == n_seen

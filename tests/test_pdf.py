@@ -63,6 +63,18 @@ def test_hex_string_show():
     assert _extract_text_ops(content) == "Hello"
 
 
+def test_indirect_length_falls_back_to_endstream_scan():
+    """`/Length 7 0 R` is an object REFERENCE, not a byte count — the
+    parser must not slice 7 bytes (real-world writers emit this form)."""
+    import re
+
+    blob = build_simple_pdf(["indirect length page"], compress=False)
+    patched = re.sub(rb"<< /Length \d+ >>", b"<< /Length 99 0 R >>", blob, count=1)
+    assert patched != blob
+    _, texts = parse_pdf(patched)
+    assert texts == ["indirect length page"]
+
+
 def test_markdown_cleaner_rules():
     """Pins REFERENCE semantics (processors/pdf/utils.py:213-350)
     including its quirks: the author regex requires a comma before
