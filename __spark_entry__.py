@@ -1889,6 +1889,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # gate-window rotation (r5): dict order = driver check order.
+        # Never-driver-checked (r1-r4) first, then r3-last-checked, then
+        # bpe_pairs (red-on-harness-typing in r4, oracle now cast), then
+        # the r4 hash-green tail.
+        "curation_report": q_curation_report,
+        "pack_sequences": q_pack_sequences,
+        "pack_stats": q_pack_stats,
+        "pii_redact": q_pii_redact,
+        "vocab_coverage": q_vocab_coverage,
+        "sample_stratified": q_sample_stratified,
+        "mixture_weights": q_mixture_weights,
+        "mixture_sample": q_mixture_sample,
+        "sample_budget": q_sample_budget,
+        "warc_roundtrip": q_warc_roundtrip,
+        "pdf_extract": q_pdf_extract,
+        "revisit_priority": q_revisit_priority,
+        "render_training": q_render_training,
+        "span_integrity": q_span_integrity,
+        "media_manifest": q_media_manifest,
+        "media_decode": q_media_decode,
+        "video_frames": q_video_frames,
+        "interleaved_spans": q_interleaved_spans,
+        "regex_entities": q_regex_entities,
+        "window_chunks": q_window_chunks,
+        "table_extract": q_table_extract,
+        "bm25_rank": q_bm25_rank,
+        "term_stats": q_term_stats,
+        "adaptive_rank": q_adaptive_rank,
+        "sitemap_seed": q_sitemap_seed,
+        "head_parse": q_head_parse,
+        "fit_markdown": q_fit_markdown,
+        "bm25_fit": q_bm25_fit,
+        "css_extract": q_css_extract,
+        "link_scores": q_link_scores,
+        "seo_score": q_seo_score,
+        "relevance_score": q_relevance_score,
+        "filter_stats": q_filter_stats,
+        "scoring_stats": q_scoring_stats,
+        "match_config": q_match_config,
+        "cc_seed": q_cc_seed,
+        "crawl_bfs": q_crawl_bfs,
+        "bpe_pairs": q_bpe_pairs,
         "url_canonicalize": q_url_canonicalize,
         "url_host_depth": q_url_host_depth,
         "url_pattern_filter": q_url_pattern_filter,
@@ -1932,50 +1974,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "source_reputation": q_source_reputation,
         "reputation_filter": q_reputation_filter,
-        "bpe_pairs": q_bpe_pairs,
         "quality_quantiles": q_quality_quantiles,
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
         "c4_rules": q_c4_rules,
         "cross_doc_dup": q_cross_doc_dup,
         "paragraph_dedup": q_paragraph_dedup,
-        "curation_report": q_curation_report,
-        "pack_sequences": q_pack_sequences,
-        "pack_stats": q_pack_stats,
-        "pii_redact": q_pii_redact,
-        "vocab_coverage": q_vocab_coverage,
-        "sample_stratified": q_sample_stratified,
-        "mixture_weights": q_mixture_weights,
-        "mixture_sample": q_mixture_sample,
-        "sample_budget": q_sample_budget,
-        "media_decode": q_media_decode,
-        "video_frames": q_video_frames,
-        "warc_roundtrip": q_warc_roundtrip,
-        "pdf_extract": q_pdf_extract,
-        "revisit_priority": q_revisit_priority,
-        "interleaved_spans": q_interleaved_spans,
-        "render_training": q_render_training,
-        "span_integrity": q_span_integrity,
-        "media_manifest": q_media_manifest,
-        "regex_entities": q_regex_entities,
-        "window_chunks": q_window_chunks,
-        "table_extract": q_table_extract,
-        "bm25_rank": q_bm25_rank,
-        "term_stats": q_term_stats,
-        "adaptive_rank": q_adaptive_rank,
-        "sitemap_seed": q_sitemap_seed,
-        "head_parse": q_head_parse,
-        "fit_markdown": q_fit_markdown,
-        "bm25_fit": q_bm25_fit,
-        "css_extract": q_css_extract,
-        "link_scores": q_link_scores,
-        "seo_score": q_seo_score,
-        "relevance_score": q_relevance_score,
-        "filter_stats": q_filter_stats,
-        "scoring_stats": q_scoring_stats,
-        "match_config": q_match_config,
-        "cc_seed": q_cc_seed,
-        "crawl_bfs": q_crawl_bfs,
     }
 
 
@@ -3003,7 +3007,7 @@ def oracle_sql() -> dict[str, str]:
               FROM sy, unnest(generate_series(1, len(syms) - 1)) AS t(i)
               WHERE len(syms) >= 2
             )
-            SELECT a, b, sum(n) AS count
+            SELECT a, b, sum(n)::BIGINT AS count
             FROM pr GROUP BY a, b
             ORDER BY count DESC, a ASC, b ASC
             LIMIT 50
