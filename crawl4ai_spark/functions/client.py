@@ -114,17 +114,28 @@ def assign_user_agents(
 def parse_proxy_string(s: Column | str) -> Column:
     """struct(server, username, password, ip) from 'ip:port' or
     'ip:port:user:pass' (ProxyConfig.from_string semantics; the
-    2-part form leaves credentials null)."""
+    2-part form leaves credentials null).
+
+    Strict like the reference's `ProxyConfig.from_string` (which
+    raises ValueError for anything but 2 or 4 parts): a malformed
+    3-part 'ip:port:user' or 5+-part string yields a NULL struct
+    instead of silently dropping credentials — misconfigured proxies
+    surface as nulls, not as credential-less fetches."""
     s = F.col(s) if isinstance(s, str) else s
     parts = F.split(s, ":")
-    four = F.size(parts) >= 4
+    n = F.size(parts)
+    four = n == 4
+    valid = (n == 2) | four
     ip = F.element_at(parts, 1)
     server = F.concat(F.lit("http://"), ip, F.lit(":"), F.element_at(parts, 2))
-    return F.struct(
-        server.alias("server"),
-        F.when(four, F.element_at(parts, 3)).alias("username"),
-        F.when(four, F.element_at(parts, 4)).alias("password"),
-        ip.alias("ip"),
+    return F.when(
+        valid,
+        F.struct(
+            server.alias("server"),
+            F.when(four, F.element_at(parts, 3)).alias("username"),
+            F.when(four, F.element_at(parts, 4)).alias("password"),
+            ip.alias("ip"),
+        ),
     )
 
 
@@ -146,6 +157,12 @@ def assign_proxies(
         return df.withColumn(out_col, F.lit(None).cast(
             "struct<server:string,username:string,password:string,ip:string>"
         ))
+    for p in proxies:  # literal pool: fail at plan build, not per row
+        if len(p.split(":")) not in (2, 4):
+            raise ValueError(
+                f"invalid proxy string {p!r}: expected 'ip:port' or "
+                "'ip:port:user:pass' (ProxyConfig.from_string semantics)"
+            )
     n = len(proxies)
     arr = F.array(*[parse_proxy_string(F.lit(p)) for p in proxies])
     if mode == "seq":

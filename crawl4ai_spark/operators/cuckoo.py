@@ -118,12 +118,32 @@ def _pack(tab: np.ndarray, stash: np.ndarray):
 def _insert_shard(tab: np.ndarray, stash: np.ndarray, h1: np.ndarray) -> np.ndarray:
     """Insert a batch of keys into one shard's table in place.
 
+    Idempotent: a key whose fingerprint already sits in either of its
+    buckets (or the stash) is skipped, so re-adds (seed re-insertion,
+    replayed micro-batches) never create duplicate entries — one
+    `cuckoo_delete` then fully removes the key instead of leaving a
+    residual copy that probes 'maybe seen' forever.  (A different key
+    whose fp collides in a shared bucket is indistinguishable by
+    design — partial-key semantics, same as probe.)
+
     Vectorized rounds first (each round places ≤1 key per bucket-slot
     — no intra-batch write conflicts), scalar eviction only for the
     residue.  Returns the updated stash."""
     m = tab.shape[0]
+    h1 = np.unique(h1)  # intra-batch duplicates place once
     fp, i1, i2 = _derive(h1, m)
-    pending = np.arange(len(h1))
+    present = np.zeros(len(h1), dtype=bool)
+    for s in range(SLOTS):
+        present |= tab[i1, s] == fp
+        present |= tab[i2, s] == fp
+    if stash.size:
+        sk = set(map(tuple, stash.tolist()))
+        for j in np.nonzero(~present)[0]:
+            if (int(i1[j]), int(fp[j])) in sk or (int(i2[j]), int(fp[j])) in sk:
+                present[j] = True
+    keep = ~present
+    fp, i1, i2 = fp[keep], i1[keep], i2[keep]
+    pending = np.arange(len(fp))
     for _ in range(6):
         if pending.size == 0:
             break
@@ -307,7 +327,13 @@ def cuckoo_probe(
 ) -> DataFrame:
     """Broadcast probe: adds boolean `out_col` (False ⇒ definitely not
     inserted).  Collects the shard blobs to a broadcast var — right
-    while the filter is dim-sized; use `cuckoo_probe_cogroup` beyond."""
+    while the filter is dim-sized; use `cuckoo_probe_cogroup` beyond.
+
+    EAGER: the result is materialized (localCheckpoint) so the shard
+    broadcast can be unpersisted before returning — otherwise a caller
+    probing in a loop (one probe per superstep) accumulates broadcast
+    blocks for the session lifetime.  Loops that want a lazy plan
+    should use `cuckoo_probe_cogroup` (as the engine does)."""
     blobs = {
         int(r["shard"]): _unpack(bytes(r["table"]), bytes(r["stash"]))
         for r in filt.collect()
@@ -335,7 +361,13 @@ def cuckoo_probe(
         return pd.Series(out)
 
     hashed = _with_shard(df, key_col, n_shards, hash_col)
-    return hashed.withColumn(out_col, probe("_h1", "_shard")).drop("_h1", "_shard")
+    out = (
+        hashed.withColumn(out_col, probe("_h1", "_shard"))
+        .drop("_h1", "_shard")
+        .localCheckpoint(eager=True)
+    )
+    bc.unpersist()
+    return out
 
 
 def cuckoo_probe_cogroup(

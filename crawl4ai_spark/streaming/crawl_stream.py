@@ -25,10 +25,20 @@ shape as one engine superstep):
 State: the seen set is a parquet directory + the incremental cuckoo
 filter (operators/cuckoo) — the deletion-capable tier, so a recrawl
 pass (plans/recrawl) can forget URLs between runs; the filter routes
-most candidates around the seen-table scan.  Exactly-once: the
-file-stream checkpoint makes frontier files process-once; the seen
-anti-join makes replays idempotent (a replayed batch re-discovers
-nothing fresh).
+most candidates around the seen-table scan.
+
+Crash-safety (foreachBatch multi-sink writes are NOT transactional
+with the stream checkpoint, so ordering carries the guarantee):
+docs land FIRST, epoch-partitioned with dynamic partition overwrite
+— a replayed epoch overwrites its own partition, never duplicates;
+discovered links append SECOND — replay may append them twice, but
+frontier entries are at-least-once by design and the seen gate makes
+the crawl effect once; seen is marked LAST (parquet + cuckoo).  A
+crash anywhere before the seen mark replays the batch identically
+(seen unchanged ⇒ same fresh set); a crash after it means every sink
+already landed, and the replay's fresh set is empty.  Net: each
+URL's document is written exactly once per crawl, with no loss
+window.
 
 Scale notes: identical join/UDF shapes to the batch engine (which is
 the tuned path — politeness admission, budgets, bucketed state); this
@@ -203,16 +213,6 @@ class StreamingCrawl:
         if fresh.isEmpty():
             return
 
-        # mark seen FIRST (parquet + cuckoo) so a replay of this batch
-        # discovers nothing fresh (idempotence under retries)
-        fresh.select("url").write.mode("append").parquet(self.seen_dir)
-        self._cuckoo = cuckoo_add(
-            self._cuckoo,
-            fresh.select(F.xxhash64("url").alias("url_hash")),
-            hash_col="url_hash",
-            n_shards=self._cuckoo_shards,
-        ).localCheckpoint(eager=True)
-
         fetched = fresh.join(self.pages, "url", "left").select(
             "url", "host", "depth",
             F.coalesce("status_code", F.lit(0)).alias("eff_status"),
@@ -227,6 +227,9 @@ class StreamingCrawl:
             ).alias("ex"),
         ).localCheckpoint(eager=True)
 
+        # 1) docs FIRST, epoch-partitioned dynamic overwrite: a replay
+        # of this epoch overwrites its own partition — idempotent, so
+        # a crash before the seen mark below cannot lose documents
         (
             step.filter((F.col("eff_status") == 200) & F.col("ex.success"))
             .select(
@@ -237,11 +240,17 @@ class StreamingCrawl:
                 F.col("ex.raw_markdown").alias("raw_markdown"),
                 F.lit(int(epoch)).alias("epoch"),
             )
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
             .parquet(self.docs_dir)
         )
 
+        # 2) discovered links SECOND (replay may re-append them —
+        # harmless: the seen gate filters them in the batch that picks
+        # them up), 3) mark seen LAST in _mark_seen below
         if self.max_depth <= 0:
+            self._mark_seen(fresh)
             return
         links = (
             step.filter((F.col("eff_status") == 200) & (F.col("depth") < self.max_depth))
@@ -263,8 +272,29 @@ class StreamingCrawl:
             .dropDuplicates(["url"])
         )
         # best-effort pre-filter (the next batch's seen gate is the
-        # real one): keeps frontier files from refilling with knowns
-        links = links.join(self.seen().select("url"), "url", "left_anti")
+        # real one): keeps frontier files from refilling with knowns —
+        # including this batch's own URLs, not yet in the seen table
+        # because the seen mark now comes last (and the seen dir may
+        # not exist at all on the first batch)
+        prior_seen = self._read_seen()
+        if prior_seen is not None:
+            links = links.join(prior_seen, "url", "left_anti")
+        links = links.join(fresh.select("url"), "url", "left_anti")
         links = links.localCheckpoint(eager=True)
         if not links.isEmpty():
             links.write.mode("append").parquet(self.frontier_dir)
+        self._mark_seen(fresh)
+
+    def _mark_seen(self, fresh: DataFrame) -> None:
+        """Mark the batch's URLs seen — LAST, after every other sink:
+        a crash before this point replays the whole batch (docs
+        overwrite their epoch partition, link re-appends are filtered
+        by the next batch's seen gate); a crash after it means all
+        sinks already landed and the replay's fresh set is empty."""
+        fresh.select("url").write.mode("append").parquet(self.seen_dir)
+        self._cuckoo = cuckoo_add(
+            self._cuckoo,
+            fresh.select(F.xxhash64("url").alias("url_hash")),
+            hash_col="url_hash",
+            n_shards=self._cuckoo_shards,
+        ).localCheckpoint(eager=True)

@@ -78,3 +78,24 @@ def test_assign_proxies_modes(spark):
     # empty pool → null column, no error
     none = assign_proxies(df, [], mode="seq").collect()
     assert all(r["proxy"] is None for r in none)
+
+
+def test_parse_proxy_string_strict(spark):
+    """Malformed part counts yield NULL structs (reference
+    ProxyConfig.from_string raises for anything but 2 or 4 parts) —
+    no silent credential dropping or truncation."""
+    rows = spark.createDataFrame(
+        [("10.0.0.1:8080:alice",),            # 3 parts: missing password
+         ("10.0.0.1:8080:alice:pw:extra",),   # 5 parts: trailing junk
+         ("",)],
+        "p string",
+    ).select(parse_proxy_string("p").alias("c")).collect()
+    assert all(r["c"] is None for r in rows)
+
+
+def test_assign_proxies_rejects_bad_literal_pool(spark):
+    import pytest
+
+    df = spark.createDataFrame([("http://h.test/1", 0)], "url string, seq long")
+    with pytest.raises(ValueError, match="invalid proxy string"):
+        assign_proxies(df, ["10.0.0.1:8080:alice"], mode="seq")

@@ -108,3 +108,49 @@ def test_stream_is_idempotent_on_reseed(spark, tmp_path):
     sc2.run_to_exhaustion()
     assert sc2.docs().count() == n_docs
     assert sc2.seen().count() == n_seen
+
+
+def test_stream_crash_before_seen_mark_loses_nothing(spark, tmp_path):
+    """Crash-safety ordering: docs (epoch-overwrite) and links land
+    BEFORE the seen mark, so a crash between sinks replays the batch
+    without losing documents or discovered links, and the replay
+    duplicates nothing (the docs epoch partition is overwritten, the
+    re-appended links are filtered by the seen gate downstream)."""
+    pages = spark.createDataFrame(synthetic_pages_pdf(WEB)).cache()
+    seeds = seed_urls(WEB, 3)
+
+    # ground truth: an uninterrupted run on the same corpus
+    ref = StreamingCrawl(spark, pages, str(tmp_path / "ref"), max_depth=2)
+    ref.seed(seeds)
+    ref.run_to_exhaustion()
+    want_docs = {r["doc_id"] for r in ref.docs().select("doc_id").collect()}
+    want_seen = {r["url"] for r in ref.seen().select("url").collect()}
+
+    # crashing run: the FIRST seen mark raises after docs+links landed
+    sc = StreamingCrawl(spark, pages, str(tmp_path / "crash"), max_depth=2)
+    real_mark, calls = sc._mark_seen, {"n": 0}
+
+    def flaky_mark(fresh):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between sinks")
+        real_mark(fresh)
+
+    sc._mark_seen = flaky_mark
+    sc.seed(seeds)
+    q = sc.start()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass
+    q.stop()
+    # restart from the same workdir (the checkpoint replays the failed
+    # micro-batch); the wrapper is gone — marks succeed from here on
+    sc2 = StreamingCrawl(spark, pages, str(tmp_path / "crash"), max_depth=2)
+    sc2.run_to_exhaustion()
+
+    assert {r["doc_id"] for r in sc2.docs().select("doc_id").collect()} == want_docs
+    assert {r["url"] for r in sc2.seen().select("url").collect()} == want_seen
+    # no duplicate documents from the replayed epoch
+    assert sc2.docs().count() == len(want_docs)
+    assert sc2.seen().count() == len(want_seen)

@@ -132,3 +132,25 @@ def test_hash_col_mode(spark):
     ).cache()
     probed = cuckoo_probe(keys, filt, n_shards=4, hash_col="url_hash")
     assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_insert_idempotent_readd_then_single_delete(spark):
+    """Re-adding already-present keys places NO duplicate entries, so
+    one cuckoo_delete fully removes a key (no residual fingerprint
+    left probing 'maybe seen' forever).  Regression: seeds re-inserted
+    on iteration 0 + plans/recrawl.forget_expired's single delete."""
+    base = _urls(spark, 0, 500)
+    filt = cuckoo_add(empty_cuckoo(spark, n_shards=4, m_buckets=256),
+                      base, n_shards=4)
+    card1 = cuckoo_cardinality(filt)
+    # re-add the same keys twice more (and duplicate rows in-batch)
+    filt = cuckoo_add(filt, base.unionAll(base), n_shards=4)
+    filt = cuckoo_add(filt, base, n_shards=4).cache()
+    filt.count()
+    assert cuckoo_cardinality(filt) == card1  # no growth on re-add
+    # single delete now fully removes: everything probes definitely-new
+    gone = cuckoo_delete(filt, base, n_shards=4)
+    assert (
+        cuckoo_probe(base, gone, n_shards=4)
+        .filter(F.col("maybe_seen")).count() == 0
+    )
