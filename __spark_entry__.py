@@ -65,6 +65,68 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _WORDS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x != '')"
 
 
+def _embedding_coverage_sql() -> str:
+    """Oracle for q_embedding_coverage: the deterministic train-query
+    split is computed HERE (same Python as the Spark side) and inlined
+    as a VALUES list; embeddings are the sparse md5-bucket formulation;
+    the query×doc product is materialized densely (LEFT JOIN) so pairs
+    sharing no bucket contribute sim 0 exactly like the dense Spark
+    dot product."""
+    from crawl4ai_spark.operators.embedding import (
+        query_variations, split_train_val,
+    )
+
+    q = "spark query window merge"
+    train, _ = split_train_val(q, query_variations(q, 10))
+    values = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(train)  # token-only strings
+    )
+    tok = "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> len(t) > 2)"
+    sign = ("CASE WHEN substr(md5(t), 9, 1) IN "
+            "('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END")
+    return f"""
+        WITH q(qid, qtext) AS (VALUES {values}),
+        qt AS (SELECT qid, qtext, unnest({tok.format(col='qtext')}) AS t FROM q),
+        qh AS (SELECT qid, ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b,
+                      {sign} AS s
+               FROM qt),
+        qv AS (SELECT qid, b, sum(s) AS v FROM qh GROUP BY qid, b),
+        qn AS (SELECT qid, sqrt(sum(v*v)) AS n FROM qv GROUP BY qid),
+        dt AS (SELECT doc_id, unnest({tok.format(col='text')}) AS t FROM documents),
+        dh AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b,
+                      {sign} AS s
+               FROM dt),
+        dv AS (SELECT doc_id, b, sum(s) AS v FROM dh GROUP BY doc_id, b),
+        dn AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM dv GROUP BY doc_id),
+        dots AS (
+          SELECT qv.qid, dv.doc_id, sum(qv.v * dv.v) AS dot
+          FROM qv JOIN dv ON qv.b = dv.b GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT q.qid, d.doc_id FROM q CROSS JOIN documents d
+        ),
+        sims AS (
+          SELECT p.qid, p.doc_id,
+                 CASE WHEN coalesce(qn.n, 0) > 0 AND coalesce(dn.n, 0) > 0
+                      THEN coalesce(dots.dot, 0) / (qn.n * dn.n)
+                      ELSE 0.0 END AS sim
+          FROM pairs p
+          LEFT JOIN dots ON dots.qid = p.qid AND dots.doc_id = p.doc_id
+          LEFT JOIN qn ON qn.qid = p.qid
+          LEFT JOIN dn ON dn.doc_id = p.doc_id
+        ),
+        best AS (SELECT qid, max(sim) AS best FROM sims GROUP BY qid)
+        SELECT q.qid, q.qtext,
+               round(coalesce(best.best, 0.0), 6) AS best_sim,
+               round(1.0 - coalesce(best.best, 0.0), 6) AS gap
+        FROM q LEFT JOIN best ON q.qid = best.qid
+        ORDER BY q.qid
+    """
+
+
+_EMBEDDING_COVERAGE_SQL = _embedding_coverage_sql()
+
+
 # ═════════════════════ query implementations ══════════════════════════
 
 # ── URL surface (C1-C7, F1-F5, R1-R9 over synthesized URLs) ──────────
@@ -1098,6 +1160,51 @@ def q_bpe_pairs(spark, sf_dir):
     )
 
 
+def q_hash_embed(spark, sf_dir):
+    """Deterministic hash-trick text embedding (the EmbeddingStrategy
+    model seam, operators/embedding.hash_embed — reference
+    adaptive_crawler.py:612-621 calls an external model; here bucket/
+    sign derive from md5(token) so the oracle re-derives identical
+    vectors).  Pure per-row Catalyst fold: no shuffle, no UDF."""
+    from crawl4ai_spark.operators.embedding import hash_embed
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.transform(hash_embed(F.col("text"), 16),
+                    lambda x: F.round(x, 6)).alias("embedding"),
+    ).orderBy("doc_id")
+
+
+def q_embedding_coverage(spark, sf_dir):
+    """EmbeddingStrategy coverage metric (adaptive_crawler.py:927-946:
+    best cosine per query point vs the knowledge base; gap = 1 − best,
+    :774-802) with `documents` as the KB and the deterministic
+    query-variation train split as the semantic space.  Plan: KB scan
+    × broadcast(13 query rows) aggregated map-side — the KB never
+    shuffles; at 100 TB the same shape holds (tiny probe × huge
+    corpus)."""
+    from crawl4ai_spark.operators.embedding import (
+        _query_df, coverage_gaps, hash_embed, query_variations, split_train_val,
+    )
+
+    q = "spark query window merge"
+    train, _ = split_train_val(q, query_variations(q, 10))
+    qdf = _query_df(spark, train, 16)
+    docs = _t(spark, sf_dir, "documents")
+    kb = docs.select(hash_embed(F.col("text"), 16).alias("vec"))
+    gaps = coverage_gaps(kb, qdf)
+    return (
+        qdf.join(gaps, "qid")
+        .select(
+            "qid", "qtext",
+            F.round(F.lit(1.0) - F.col("gap"), 6).alias("best_sim"),
+            F.round("gap", 6).alias("gap"),
+        )
+        .orderBy("qid")
+    )
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality distribution (exact interpolated
     percentiles — the corpus-health dashboard numbers; at 100 TB the
@@ -1931,6 +2038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_seed": q_cc_seed,
         "crawl_bfs": q_crawl_bfs,
         "bpe_pairs": q_bpe_pairs,
+        # r5 additions (EmbeddingStrategy) — in the gate window
+        "hash_embed": q_hash_embed,
+        "embedding_coverage": q_embedding_coverage,
         "url_canonicalize": q_url_canonicalize,
         "url_host_depth": q_url_host_depth,
         "url_pattern_filter": q_url_pattern_filter,
@@ -3012,6 +3122,42 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY count DESC, a ASC, b ASC
             LIMIT 50
         """,
+        "hash_embed": f"""
+            WITH dt AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> len(t) > 2)) AS t
+              FROM documents
+            ),
+            dh AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b,
+                     CASE WHEN substr(md5(t), 9, 1) IN
+                          ('0','1','2','3','4','5','6','7')
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM dt
+            ),
+            dv AS (SELECT doc_id, b, sum(s) AS v FROM dh GROUP BY doc_id, b),
+            dn AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM dv GROUP BY doc_id),
+            grid AS (
+              SELECT d.doc_id, s.i
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+              CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+            ),
+            vals AS (
+              SELECT g.doc_id, g.i,
+                     CASE WHEN coalesce(dn.n, 0) > 0
+                          THEN round(coalesce(dv.v, 0) / dn.n, 6)
+                          ELSE 0.0 END AS x
+              FROM grid g
+              LEFT JOIN dv ON dv.doc_id = g.doc_id AND dv.b = g.i
+              LEFT JOIN dn ON dn.doc_id = g.doc_id
+            )
+            SELECT doc_id, list(x ORDER BY i) AS embedding
+            FROM vals GROUP BY doc_id ORDER BY doc_id
+        """,
+        "embedding_coverage": _EMBEDDING_COVERAGE_SQL,
         "quality_quantiles": """
             WITH w AS (
               SELECT doc_id, lang, text,

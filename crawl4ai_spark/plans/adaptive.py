@@ -46,7 +46,8 @@ __all__ = ["DigestConfig", "DigestResult", "adaptive_digest"]
 @dataclass
 class DigestConfig:
     """Mirrors the reference AdaptiveConfig defaults
-    (adaptive_crawler.py:157-174)."""
+    (adaptive_crawler.py:157-230; embedding params :180-230, factory
+    `_create_strategy` :1258-1272 dispatches on `strategy`)."""
 
     confidence_threshold: float = 0.7
     max_depth: int = 5
@@ -57,6 +58,18 @@ class DigestConfig:
     relevance_weight: float = 0.5
     novelty_weight: float = 0.3
     authority_weight: float = 0.2
+    # strategy dispatch + EmbeddingStrategy parameters (defaults are
+    # the reference's AdaptiveConfig values)
+    strategy: str = "statistical"            # "statistical" | "embedding"
+    n_query_variations: int = 10
+    embedding_dim: int = 32                  # hash_embed width (model seam)
+    embedding_min_confidence_threshold: float = 0.1
+    embedding_coverage_radius: float = 0.2
+    embedding_overlap_threshold: float = 0.85
+    embedding_min_relative_improvement: float = 0.1
+    embedding_validation_min_score: float = 0.4
+    embedding_kb_threshold: float = 0.95     # KB near-dup gate
+    coverage_tau: float | None = None        # None ⇒ mean best-sim
 
 
 @dataclass
@@ -98,6 +111,12 @@ def adaptive_digest(
     reference's stable sort over append-ordered pending links.
     """
     cfg = cfg or DigestConfig()
+    if cfg.strategy == "embedding":
+        return _embedding_digest(
+            spark, pages, start_url, query, cfg, url_col, text_col, links_col
+        )
+    if cfg.strategy != "statistical":
+        raise ValueError(f"Unknown strategy: {cfg.strategy}")  # factory :1272
     qt = _query_terms(query)
 
     pages = pages.select(
@@ -241,6 +260,233 @@ def adaptive_digest(
     metrics["depth_reached"] = float(depth)
     return DigestResult(
         kb=kb.select("url", "iteration", "text"),
+        crawl_order=list(crawled),
+        metrics=metrics,
+        depth_reached=depth,
+        stop_reason=stop_reason,
+        metrics_history=history,
+    )
+
+
+# ═════════════════════ EmbeddingStrategy digest ══════════════════════
+
+def _embedding_digest(
+    spark: SparkSession,
+    pages: DataFrame,
+    start_url: str,
+    query: str,
+    cfg: DigestConfig,
+    url_col: str,
+    text_col: str,
+    links_col: str,
+) -> DigestResult:
+    """The reference's EmbeddingStrategy digest loop
+    (adaptive_crawler.py:593-1228 + digest :1290-1397) on deterministic
+    hash embeddings (operators/embedding — the documented model/LLM
+    seams).
+
+    Per iteration: confidence = mean best-cosine of the train-query
+    points vs the (near-dup-deduped) KB embeddings; should_stop in the
+    reference's exact order (:1093-1140): below-minimum-relevance →
+    max_pages → frontier exhausted → convergence (avg |Δconfidence| <
+    min_relative_improvement·confidence) gated by held-out validation;
+    then links are ranked by gap-filling score (×2-amplified mean
+    improvement over uncovered gaps × (1 − overlap penalty)) and the
+    top-k crawled.  Final confidence maps through the reference's
+    quality bands (get_quality_confidence :1143-1168; its active
+    coverage score feeds the mapping — the reference reads a stale
+    'learning_score' key its active confidence never writes, an
+    internal inconsistency we resolve toward the evident intent).
+
+    Spark shape: KB text and embeddings stay DataFrames; every product
+    (KB×queries, links×queries, links×KB) is a broadcast of the tiny
+    query set or the ≤max_pages-row KB against the distributed side,
+    aggregated map-side.  Driver traffic per iteration: the confidence
+    scalar, ≤n_variations gap rows, and the ≤top_k selected hrefs —
+    identical to the statistical loop's contract.
+    """
+    from crawl4ai_spark.operators.embedding import (
+        coverage_gaps,
+        embedding_confidence,
+        hash_embed,
+        kb_dedup_mask,
+        query_variations,
+        select_links,
+        split_train_val,
+        validation_score,
+        _query_df,
+    )
+
+    dim = cfg.embedding_dim
+    pages = pages.select(
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("text"),
+        F.col(links_col).alias("links"),
+    )
+
+    # map the query semantic space (digest :1290-1299); original query
+    # always trains, last max(2, 20%) variations validate
+    variations = query_variations(query, cfg.n_query_variations)
+    train_q, val_q = split_train_val(query, variations)
+    train_df = _query_df(spark, train_q, dim).localCheckpoint(eager=True)
+    val_df = _query_df(spark, val_q, dim).localCheckpoint(eager=True)
+
+    crawled: list[str] = []
+    kb_docs: DataFrame | None = None   # (url, iteration, text) — ALL results
+    kb_emb: DataFrame | None = None    # (url, vec) — near-dup-deduped KB
+    pending: DataFrame | None = None   # (href, link_text, seq)
+    metrics: dict[str, float] = {}
+    history: list[dict] = []
+    conf_history: list[float] = []
+
+    def _fetch(urls: list[str], iteration: int) -> DataFrame:
+        batch = pages.filter(F.col("url").isin(urls))
+        return batch.select(
+            "url", F.lit(iteration).alias("iteration"), "text", "links"
+        ).localCheckpoint(eager=True)
+
+    def _merge(batch: DataFrame, iteration: int) -> None:
+        nonlocal kb_docs, kb_emb, pending
+        fetched = batch.select("url", "iteration", "text")
+        kb_docs = fetched if kb_docs is None else kb_docs.union(fetched)
+        # update_state (:1170-1220): embed, drop near-dups vs the PRIOR
+        # KB (threshold 0.95), extend
+        emb_batch = batch.select("url", hash_embed("text", dim).alias("vec"))
+        emb_new = kb_dedup_mask(
+            emb_batch, kb_emb, vec_col="vec", threshold=cfg.embedding_kb_threshold
+        ).select("url", "vec")
+        kb_emb = (
+            emb_new if kb_emb is None else kb_emb.union(emb_new)
+        ).localCheckpoint(eager=True)
+        # pending-link append order ≡ statistical loop (reference
+        # appends internal+external per fetched page in crawl order)
+        rank_expr = F.lit(0)
+        for i, u in enumerate(crawled):
+            rank_expr = F.when(F.col("_src") == u, F.lit(i)).otherwise(rank_expr)
+        links = (
+            batch.select(
+                F.col("url").alias("_src"),
+                F.posexplode_outer("links").alias("_pos", "_lnk"),
+            )
+            .filter(F.col("_lnk.href").isNotNull())
+            .select(
+                F.col("_lnk.href").alias("href"),
+                F.coalesce(F.col("_lnk.text"), F.lit("")).alias("link_text"),
+                (F.lit(iteration) * F.lit(1 << 40)
+                 + rank_expr.cast("long") * F.lit(1 << 20)
+                 + F.col("_pos")).alias("seq"),
+            )
+        )
+        pending = links if pending is None else pending.union(links)
+
+    # ── initial crawl (digest :1302-1321) ────────────────────────────
+    batch0 = _fetch([start_url], 0)
+    if batch0.limit(1).count() == 0:
+        return DigestResult(
+            kb=spark.createDataFrame([], "url string, iteration int, text string"),
+            crawl_order=[], metrics={}, depth_reached=0, stop_reason="no_start",
+        )
+    crawled.append(start_url)
+    _merge(batch0, 0)
+
+    depth = 0
+    stop_reason = "max_depth"
+    while depth < cfg.max_depth:
+        conf = embedding_confidence(
+            kb_emb, train_df, vec_col="vec", qvec_col="qvec", tau=cfg.coverage_tau
+        )
+        metrics = {"confidence": conf}
+        history.append({"depth": depth, "pages": len(crawled), "confidence": conf})
+
+        # should_stop — reference order (:1093-1140)
+        if conf < cfg.embedding_min_confidence_threshold and crawled:
+            stop_reason = "below_minimum_relevance_threshold"
+            metrics["is_irrelevant"] = 1.0
+            break
+        if len(crawled) >= cfg.max_pages:
+            stop_reason = "max_pages"
+            break
+        cand = (
+            pending.groupBy("href")
+            .agg(F.min("seq").alias("seq"),
+                 F.min_by("link_text", "seq").alias("link_text"))
+            .filter(~F.col("href").isin(crawled))
+            .localCheckpoint(eager=True)
+        )
+        if cand.limit(1).count() == 0:
+            stop_reason = "exhausted"
+            break
+        conf_history.append(conf)  # appended after basic limits (:1113)
+        if len(conf_history) >= 2:
+            pairs = list(zip(conf_history[:-1], conf_history[1:]))
+            avg_improvement = sum(abs(b - a) for a, b in pairs) / len(pairs)
+            metrics["avg_improvement"] = avg_improvement
+            if avg_improvement < cfg.embedding_min_relative_improvement * conf:
+                val = validation_score(kb_emb, val_df, vec_col="vec", qvec_col="qvec")
+                metrics["validation_confidence"] = val
+                if val > cfg.embedding_validation_min_score:
+                    stop_reason = "converged_validated"
+                    metrics["validation_passed"] = 1.0
+                    break
+                # low_validation: keep crawling despite convergence
+
+        # rank_links (:1024-1054): gaps vs train queries, then
+        # gap-filling link scores; zero-text links are skipped like the
+        # reference's empty link_text guard (:869-871)
+        gaps_q = coverage_gaps(kb_emb, train_df, vec_col="vec", qvec_col="qvec")
+        gaps_q = train_df.join(gaps_q, "qid").select("qid", "qvec", "gap")
+        cand_emb = cand.withColumn("lvec", hash_embed("link_text", dim)).filter(
+            F.exists(F.col("lvec"), lambda x: x != 0)
+        )
+        ranked = select_links(
+            cand_emb, gaps_q, kb_emb,
+            coverage_radius=cfg.embedding_coverage_radius,
+            overlap_threshold=cfg.embedding_overlap_threshold,
+            vec_col="vec", link_vec_col="lvec",
+        )
+        top = (
+            ranked.orderBy(F.desc("emb_score"), F.asc("seq"))
+            .limit(cfg.top_k_links)
+            .select("href", "emb_score")
+            .collect()
+        )
+        if not top:
+            stop_reason = "exhausted"
+            break
+        if top[0]["emb_score"] < cfg.min_gain_threshold:
+            stop_reason = "min_gain"
+            break
+
+        to_crawl = [r["href"] for r in top]
+        batch = _fetch(to_crawl, depth + 1)
+        got = {r["url"] for r in batch.select("url").collect()}
+        crawled.extend(u for u in to_crawl if u in got)
+        if got:
+            _merge(batch, depth + 1)
+        depth += 1
+        kb_docs = kb_docs.localCheckpoint(eager=True)
+        pending = pending.localCheckpoint(eager=True)
+
+    # final confidence through the quality bands (:1143-1168)
+    learning = embedding_confidence(
+        kb_emb, train_df, vec_col="vec", qvec_col="qvec", tau=cfg.coverage_tau
+    )
+    metrics["coverage_score"] = learning
+    validated = metrics.get("validation_passed", 0.0) >= 1.0
+    if validated:
+        if learning < 0.4:
+            quality = 0.7
+        elif learning > 0.7:
+            quality = 0.95
+        else:
+            quality = 0.7 + (learning - 0.4) * 0.833
+    else:
+        quality = learning * 0.8
+    metrics["confidence"] = quality
+    metrics["pages_crawled"] = float(len(crawled))
+    metrics["depth_reached"] = float(depth)
+    return DigestResult(
+        kb=kb_docs.select("url", "iteration", "text"),
         crawl_order=list(crawled),
         metrics=metrics,
         depth_reached=depth,

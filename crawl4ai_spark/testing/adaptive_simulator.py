@@ -202,3 +202,174 @@ def simulate_digest(
     metrics["pages_crawled"] = float(len(crawled))
     metrics["depth_reached"] = float(depth)
     return SimDigestResult(crawled, metrics, depth, stop_reason, history)
+
+
+# ═════════════════ EmbeddingStrategy simulator ═══════════════════════
+
+def simulate_embedding_digest(
+    pages: dict[str, tuple[str, list[tuple[str, str]]]],
+    start_url: str,
+    query: str,
+    max_depth: int = 5,
+    max_pages: int = 20,
+    top_k_links: int = 3,
+    min_gain_threshold: float = 0.1,
+    n_query_variations: int = 10,
+    embedding_dim: int = 32,
+    embedding_min_confidence_threshold: float = 0.1,
+    embedding_coverage_radius: float = 0.2,
+    embedding_overlap_threshold: float = 0.85,
+    embedding_min_relative_improvement: float = 0.1,
+    embedding_validation_min_score: float = 0.4,
+    embedding_kb_threshold: float = 0.95,
+    coverage_tau: float | None = None,
+) -> SimDigestResult:
+    """Sequential mirror of plans/adaptive._embedding_digest — same
+    semantics as the reference EmbeddingStrategy loop
+    (adaptive_crawler.py:593-1228 + digest :1290-1397), list/dict
+    based, numpy-free.  The parity oracle for the Spark loop."""
+    from crawl4ai_spark.operators.embedding import (
+        hash_embed_py, query_variations, split_train_val,
+    )
+
+    def dot(a: list[float], b: list[float]) -> float:
+        return sum(x * y for x, y in zip(a, b))
+
+    variations = query_variations(query, n_query_variations)
+    train_q, val_q = split_train_val(query, variations)
+    train_vecs = [hash_embed_py(q, embedding_dim) for q in train_q]
+    val_vecs = [hash_embed_py(q, embedding_dim) for q in val_q]
+
+    crawled: list[str] = []
+    kb_texts: list[str] = []
+    kb_iters: list[int] = []
+    kb_vecs: list[list[float]] = []   # deduped embedding KB
+    pending: dict[str, tuple[tuple[int, int, int], str]] = {}
+
+    def merge(urls: list[str], iteration: int) -> None:
+        for u in urls:
+            text, links = pages[u]
+            kb_texts.append(text)
+            kb_iters.append(iteration)
+            # update_state KB dedup: max cosine vs PRIOR kb < threshold
+            v = hash_embed_py(text, embedding_dim)
+            if not kb_vecs or max(dot(v, w) for w in kb_vecs) < embedding_kb_threshold:
+                kb_vecs.append(v)
+            src_rank = crawled.index(u)
+            for pos, (href, ltext) in enumerate(links):
+                if href is None:
+                    continue
+                seq = (iteration, src_rank, pos)
+                if href not in pending or seq < pending[href][0]:
+                    pending[href] = (seq, ltext or "")
+
+    def confidence_now() -> float:
+        if not kb_vecs or not train_vecs:
+            return 0.0
+        bests = [max(dot(q, d) for d in kb_vecs) for q in train_vecs]
+        if coverage_tau is not None:
+            return sum(1.0 for b in bests if b >= coverage_tau) / len(bests)
+        return sum(bests) / len(bests)
+
+    if start_url not in pages:
+        return SimDigestResult([], {}, 0, "no_start")
+    crawled.append(start_url)
+    merge([start_url], 0)
+
+    metrics: dict[str, float] = {}
+    history: list[dict] = []
+    conf_history: list[float] = []
+    depth = 0
+    stop_reason = "max_depth"
+    while depth < max_depth:
+        conf = confidence_now()
+        metrics = {"confidence": conf}
+        history.append({"depth": depth, "pages": len(crawled), "confidence": conf})
+
+        if conf < embedding_min_confidence_threshold and crawled:
+            stop_reason = "below_minimum_relevance_threshold"
+            metrics["is_irrelevant"] = 1.0
+            break
+        if len(crawled) >= max_pages:
+            stop_reason = "max_pages"
+            break
+        cand = {h: v for h, v in pending.items() if h not in crawled}
+        if not cand:
+            stop_reason = "exhausted"
+            break
+        conf_history.append(conf)
+        if len(conf_history) >= 2:
+            pairs = list(zip(conf_history[:-1], conf_history[1:]))
+            avg_improvement = sum(abs(b - a) for a, b in pairs) / len(pairs)
+            metrics["avg_improvement"] = avg_improvement
+            if avg_improvement < embedding_min_relative_improvement * conf:
+                if val_vecs and kb_vecs:
+                    val = sum(
+                        max(dot(q, d) for d in kb_vecs) for q in val_vecs
+                    ) / len(val_vecs)
+                else:
+                    val = 0.0
+                metrics["validation_confidence"] = val
+                if val > embedding_validation_min_score:
+                    stop_reason = "converged_validated"
+                    metrics["validation_passed"] = 1.0
+                    break
+
+        # gaps per train query: 1 - best cosine vs KB
+        gaps = [
+            1.0 - (max(dot(q, d) for d in kb_vecs) if kb_vecs else 0.0)
+            for q in train_vecs
+        ]
+        needing = [(q, g) for q, g in zip(train_vecs, gaps)
+                   if g > embedding_coverage_radius]
+        scored = []
+        for href, (seq, ltext) in cand.items():
+            lv = hash_embed_py(ltext, embedding_dim)
+            if all(x == 0 for x in lv):
+                continue  # reference skips empty link texts
+            if needing:
+                total = 0.0
+                for qv, g in needing:
+                    newd = 1.0 - dot(lv, qv)
+                    if newd < g:
+                        total += (g - newd) * 2.0
+                gap_red = total / len(needing)
+            else:
+                gap_red = 0.0
+            if kb_vecs:
+                ms = max(dot(lv, d) for d in kb_vecs)
+                pen = (ms - embedding_overlap_threshold) * 2.0 \
+                    if ms > embedding_overlap_threshold else 0.0
+            else:
+                pen = 0.0
+            scored.append((gap_red * (1.0 - pen), seq, href))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        top = scored[:top_k_links]
+        if not top:
+            stop_reason = "exhausted"
+            break
+        if top[0][0] < min_gain_threshold:
+            stop_reason = "min_gain"
+            break
+
+        to_crawl = [h for _, _, h in top]
+        got = [u for u in to_crawl if u in pages]
+        crawled.extend(got)
+        merge(got, depth + 1)
+        depth += 1
+
+    learning = confidence_now()
+    metrics["coverage_score"] = learning
+    if metrics.get("validation_passed", 0.0) >= 1.0:
+        if learning < 0.4:
+            quality = 0.7
+        elif learning > 0.7:
+            quality = 0.95
+        else:
+            quality = 0.7 + (learning - 0.4) * 0.833
+    else:
+        quality = learning * 0.8
+    metrics["confidence"] = quality
+    metrics["pages_crawled"] = float(len(crawled))
+    metrics["depth_reached"] = float(depth)
+    return SimDigestResult(list(crawled), metrics, depth, stop_reason, history)
