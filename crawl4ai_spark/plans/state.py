@@ -26,6 +26,23 @@ manifest records its parent snapshot id, and the full commit history
 is appended to `_lineage.jsonl` so the snapshot chain survives data
 pruning (Iceberg's metadata log role).  Footer reads are driver-side
 pyarrow metadata calls — no extra Spark job.
+
+INTEGRATION GATE (verified absent through round 5): no Iceberg
+runtime jar ships in this sandbox's pyspark classpath, so the
+`bucket(url_hash)` storage-partitioned-join claim (plans/crawl.py
+seen-join tier — the no-exchange bucketed mode is plan-asserted
+against Spark's native bucketed tables in tests) remains validated
+against Spark bucketed tables only, not a live Iceberg catalog.  On a
+cluster with `iceberg-spark-runtime` on the classpath, the swap is
+config-only:
+
+    spark.sql.catalog.crawl = org.apache.iceberg.spark.SparkCatalog
+    CREATE TABLE crawl.seen (url_hash BIGINT, ...)
+      USING iceberg PARTITIONED BY (bucket(256, url_hash))
+    + spark.sql.sources.v2.bucketing.enabled=true
+
+and SnapshotStore's commit/load calls map onto MERGE INTO + snapshot
+ids as documented above; no engine code changes.
 """
 
 from __future__ import annotations
