@@ -300,6 +300,7 @@ def query_bench(sf_dir: str, cpus: int) -> dict[str, float]:
         "text_stats", "text_quality",
         "lang_id", "interleaved_spans", "url_canonicalize", "url_scores",
         "media_decode", "warc_roundtrip", "pdf_extract",
+        "hash_embed", "embedding_coverage",
     ]
     qs = entry_mod.queries()
     # Warm the session off the clock (scan + tiny agg + one pandas-UDF
