@@ -190,7 +190,9 @@ def coverage_gaps(
         "qid", _dot(F.col(vec_col), F.col(qvec_col)).alias("sim")
     )
     best = sims.groupBy("qid").agg(F.max("sim").alias("best"))
-    return queries.select("qid").join(best, "qid", "left").select(
+    # `best` is ≤ n_queries rows but post-agg (unknown stats) — hint
+    # it broadcast so the reattach join never sorts either side
+    return queries.select("qid").join(F.broadcast(best), "qid", "left").select(
         "qid", (F.lit(1.0) - F.coalesce("best", F.lit(0.0))).alias("gap")
     )
 

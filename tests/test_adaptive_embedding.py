@@ -144,3 +144,33 @@ def test_hash_embed_spark_matches_python(spark):
         # normalized (or all-zero for token-free texts)
         n = math.sqrt(sum(x * x for x in py))
         assert n == 0.0 or abs(n - 1.0) < 1e-9
+
+
+def test_embedding_plan_shapes(spark):
+    """Scale-shape assertions: hash_embed is a pure per-row fold (no
+    Exchange before the caller's own ops), and the coverage product is
+    a BROADCAST of the tiny query side — never a shuffled join of the
+    corpus against the queries."""
+    import pyspark.sql.functions as F
+
+    from crawl4ai_spark.operators.embedding import (
+        _query_df, coverage_gaps, hash_embed, query_variations,
+        split_train_val,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffle text {i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    emb = docs.select("doc_id", hash_embed("text", 16).alias("vec"))
+    plan = emb._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row Catalyst fold, no shuffle
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    q = "spark shuffle partition tuning"
+    train, _ = split_train_val(q, query_variations(q, 10))
+    qdf = _query_df(spark, train, 16)
+    gaps = coverage_gaps(emb.select("vec"), qdf)
+    gplan = gaps._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in gplan        # tiny query side broadcast
+    assert "SortMergeJoin" not in gplan
