@@ -406,8 +406,9 @@ def cuckoo_probe_cogroup(
 
 
 def cuckoo_cardinality(filt: DataFrame) -> int:
-    """Exact occupied-slot count (duplicates counted — callers insert
-    distinct keys).  One small agg over n_shards rows."""
+    """Exact occupied-slot count.  Inserts are idempotent (re-adds
+    skip), so this approximates distinct inserted keys up to fp
+    collisions.  One small agg over n_shards rows."""
     total = 0
     for r in filt.collect():
         tab, stash = _unpack(bytes(r["table"]), bytes(r["stash"]))
