@@ -262,6 +262,17 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
         if total1 > total0 else 0.0
     )
     crawled = res.state.pages_crawled
+    # second probe sample at window END: one start-of-leg sample can
+    # catch a transient throttle dip and mis-normalize a ~17-minute
+    # leg (observed: a lo leg probing 115 while its crawl wall-clock
+    # matched healthy-window runs).  The mean of the two samples is
+    # what the scaling normalizer uses.
+    probe_after = _host_probe(16)
+    probe_mean = (
+        round((probe_mops + probe_after) / 2, 1)
+        if probe_mops is not None and probe_after is not None
+        else (probe_mops or probe_after)
+    )
     if corpus_dir:
         import shutil
 
@@ -276,6 +287,8 @@ def crawl_bench(cpus: int, n_pages: int, seed: int = 42) -> dict:
         "crawl_sec": round(crawl_sec, 2),
         "urls_per_sec": round(crawled / crawl_sec, 2) if crawl_sec > 0 else 0.0,
         "host_probe_mops": probe_mops,
+        "host_probe_mops_after": probe_after,
+        "host_probe_mops_mean": probe_mean,
         "steal_pct": steal_pct,
     }
     spark.stop()
@@ -468,9 +481,12 @@ def run_scaling(sf: float) -> None:
     # host capacity its probe measured, cancelling ambient host drift
     # between the two legs.  eff_norm = eff_raw * (probe_lo/probe_hi).
     # Null when either probe failed (unknown ≠ slow).
+    def _leg_probe(r):
+        return r.get("host_probe_mops_mean") or r.get("host_probe_mops")
+
     def _norm_eff(p):
         lo, hi = p
-        a, b = lo.get("host_probe_mops"), hi.get("host_probe_mops")
+        a, b = _leg_probe(lo), _leg_probe(hi)
         if not a or not b or lo["urls_per_sec"] <= 0:
             return None
         return round(
@@ -487,7 +503,7 @@ def run_scaling(sf: float) -> None:
     # either leg rank below any fully-probed pair.
     def _balance(p):
         lo, hi = p
-        a, b = lo.get("host_probe_mops"), hi.get("host_probe_mops")
+        a, b = _leg_probe(lo), _leg_probe(hi)
         if not a or not b:
             return -1.0
         return min(a, b) / max(a, b)
