@@ -126,6 +126,151 @@ def _embedding_coverage_sql() -> str:
 
 _EMBEDDING_COVERAGE_SQL = _embedding_coverage_sql()
 
+_EMB_TOK = ("list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
+            "t -> len(t) > 2)")
+_EMB_SIGN = ("CASE WHEN substr(md5(t), 9, 1) IN "
+             "('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END")
+_EMB_BUCKET = "('0x' || substr(md5(t), 1, 8))::BIGINT % 16"
+
+
+def _embedding_shape_sql() -> str:
+    """Oracle for q_embedding_shape: per-dim centroid/std over the
+    NORMALIZED doc vectors (zero-token docs contribute zeros to every
+    dim — they stay in N and in the radius max), radius via
+    ||x−c||² = ||x||² − 2·x·c + ||c||² so the sparse rows suffice."""
+    return f"""
+        WITH dt AS (SELECT doc_id, unnest({_EMB_TOK.format(col='text')}) AS t
+                    FROM documents),
+        dh AS (SELECT doc_id, {_EMB_BUCKET} AS b, {_EMB_SIGN} AS s FROM dt),
+        dv AS (SELECT doc_id, b, sum(s) AS v FROM dh GROUP BY doc_id, b),
+        dn AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM dv GROUP BY doc_id),
+        xs AS (SELECT dv.doc_id, dv.b, dv.v / dn.n AS x
+               FROM dv JOIN dn USING (doc_id) WHERE dn.n > 0),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        dims AS (SELECT unnest(generate_series(0, 15)) AS i),
+        sums AS (SELECT b AS i, sum(x) AS sx, sum(x*x) AS sxx
+                 FROM xs GROUP BY b),
+        cen AS (
+          SELECT d.i,
+                 coalesce(s.sx, 0) / (SELECT n FROM nn) AS center,
+                 sqrt(greatest(
+                   coalesce(s.sxx, 0) / (SELECT n FROM nn)
+                   - (coalesce(s.sx, 0) / (SELECT n FROM nn))
+                     * (coalesce(s.sx, 0) / (SELECT n FROM nn)), 0)) AS std
+          FROM dims d LEFT JOIN sums s ON s.i = d.i
+        ),
+        c2 AS (SELECT sum(center*center) AS c2 FROM cen),
+        docsums AS (
+          SELECT xs.doc_id, sum(xs.x * xs.x) AS x2,
+                 sum(xs.x * cen.center) AS xc
+          FROM xs JOIN cen ON xs.b = cen.i GROUP BY xs.doc_id
+        ),
+        rad AS (
+          SELECT max(sqrt(greatest(
+            coalesce(ds.x2, 0) - 2*coalesce(ds.xc, 0) + (SELECT c2 FROM c2),
+            0))) AS radius
+          FROM documents dd LEFT JOIN docsums ds ON dd.doc_id = ds.doc_id
+        )
+        SELECT i, round(center, 6) AS center, round(std, 6) AS std,
+               round((SELECT radius FROM rad), 6) AS radius
+        FROM cen ORDER BY i
+    """
+
+
+def _embedding_select_sql() -> str:
+    """Oracle for q_embedding_select: gap-filling link scores.  Every
+    product is DENSE (LEFT JOIN onto the cross set) so pairs sharing
+    no bucket contribute exactly the sim 0 the Spark dense dot
+    produces."""
+    from crawl4ai_spark.operators.embedding import (
+        query_variations, split_train_val,
+    )
+
+    q = "spark query window merge"
+    train, _ = split_train_val(q, query_variations(q, 10))
+    values = ", ".join(f"({i}, '{s}')" for i, s in enumerate(train))
+    return f"""
+        WITH q(qid, qtext) AS (VALUES {values}),
+        qt AS (SELECT qid, unnest({_EMB_TOK.format(col='qtext')}) AS t FROM q),
+        qh AS (SELECT qid, {_EMB_BUCKET} AS b, {_EMB_SIGN} AS s FROM qt),
+        qv AS (SELECT qid, b, sum(s) AS v FROM qh GROUP BY qid, b),
+        qn AS (SELECT qid, sqrt(sum(v*v)) AS n FROM qv GROUP BY qid),
+        kbd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        kt AS (SELECT doc_id, unnest({_EMB_TOK.format(col='text')}) AS t FROM kbd),
+        kh AS (SELECT doc_id, {_EMB_BUCKET} AS b, {_EMB_SIGN} AS s FROM kt),
+        kv AS (SELECT doc_id, b, sum(s) AS v FROM kh GROUP BY doc_id, b),
+        kn AS (SELECT doc_id, sqrt(sum(v*v)) AS n FROM kv GROUP BY doc_id),
+        -- gaps: 1 - best cosine of each query vs the KB (dense)
+        qkdots AS (SELECT qv.qid, kv.doc_id, sum(qv.v * kv.v) AS dot
+                   FROM qv JOIN kv ON qv.b = kv.b GROUP BY 1, 2),
+        qksims AS (
+          SELECT p.qid, p.doc_id,
+                 CASE WHEN coalesce(qn.n,0) > 0 AND coalesce(kn.n,0) > 0
+                      THEN coalesce(d.dot, 0) / (qn.n * kn.n)
+                      ELSE 0.0 END AS sim
+          FROM (SELECT q.qid, k.doc_id FROM q CROSS JOIN kbd k) p
+          LEFT JOIN qkdots d ON d.qid = p.qid AND d.doc_id = p.doc_id
+          LEFT JOIN qn ON qn.qid = p.qid
+          LEFT JOIN kn ON kn.doc_id = p.doc_id
+        ),
+        gaps AS (SELECT qid, 1.0 - max(sim) AS gap FROM qksims GROUP BY qid),
+        needing AS (SELECT * FROM gaps WHERE gap > 0.2),
+        ncount AS (SELECT count(*)::DOUBLE AS n FROM needing),
+        -- links: first-6-token preview of EVERY document
+        ltok AS (
+          SELECT doc_id AS href,
+                 unnest(({_EMB_TOK.format(col='text')})[1:6]) AS t
+          FROM documents
+        ),
+        lh AS (SELECT href, {_EMB_BUCKET} AS b, {_EMB_SIGN} AS s FROM ltok),
+        lv AS (SELECT href, b, sum(s) AS v FROM lh GROUP BY href, b),
+        ln AS (SELECT href, sqrt(sum(v*v)) AS n FROM lv GROUP BY href),
+        links AS (SELECT href FROM ln WHERE n > 0),
+        -- gap reduction: dense link x needing-gap product
+        lqdots AS (SELECT lv.href, qv.qid, sum(lv.v * qv.v) AS dot
+                   FROM lv JOIN qv ON lv.b = qv.b GROUP BY 1, 2),
+        lqpairs AS (
+          SELECT l.href, g.qid, g.gap,
+                 1.0 - coalesce(d.dot, 0) / (ln.n * qn.n) AS newd
+          FROM links l CROSS JOIN needing g
+          JOIN ln ON ln.href = l.href
+          JOIN qn ON qn.qid = g.qid
+          LEFT JOIN lqdots d ON d.href = l.href AND d.qid = g.qid
+        ),
+        gapred AS (
+          SELECT href,
+                 sum(CASE WHEN newd < gap THEN (gap - newd) * 2.0
+                          ELSE 0.0 END) / (SELECT n FROM ncount) AS gr
+          FROM lqpairs GROUP BY href
+        ),
+        -- overlap penalty: dense link x KB max-similarity
+        lkdots AS (SELECT lv.href, kv.doc_id, sum(lv.v * kv.v) AS dot
+                   FROM lv JOIN kv ON lv.b = kv.b GROUP BY 1, 2),
+        lksims AS (
+          SELECT p.href, p.doc_id,
+                 CASE WHEN coalesce(kn.n,0) > 0
+                      THEN coalesce(d.dot, 0) / (ln.n * kn.n)
+                      ELSE 0.0 END AS sim
+          FROM (SELECT l.href, k.doc_id FROM links l CROSS JOIN kbd k) p
+          JOIN ln ON ln.href = p.href
+          LEFT JOIN lkdots d ON d.href = p.href AND d.doc_id = p.doc_id
+          LEFT JOIN kn ON kn.doc_id = p.doc_id
+        ),
+        pen AS (
+          SELECT href,
+                 CASE WHEN max(sim) > 0.85 THEN (max(sim) - 0.85) * 2.0
+                      ELSE 0.0 END AS pen
+          FROM lksims GROUP BY href
+        )
+        SELECT l.href,
+               round(coalesce(g.gr, 0) * (1.0 - coalesce(p.pen, 0)), 6)
+                 AS emb_score
+        FROM links l
+        LEFT JOIN gapred g ON g.href = l.href
+        LEFT JOIN pen p ON p.href = l.href
+        ORDER BY l.href
+    """
+
 
 # ═════════════════════ query implementations ══════════════════════════
 
@@ -1205,6 +1350,59 @@ def q_embedding_coverage(spark, sf_dir):
     )
 
 
+def q_embedding_shape(spark, sf_dir):
+    """Coverage-shape model (adaptive_crawler.py:737-758: centroid +
+    per-dim std + max radius — the reference's high-dim alpha-shape
+    stand-in) over the documents corpus's hash embeddings.  One
+    posexplode agg keyed by dim + a broadcast-back radius pass."""
+    from crawl4ai_spark.operators.embedding import coverage_shape, hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    vecs = docs.select(hash_embed(F.col("text"), 16).alias("vec"))
+    return coverage_shape(vecs).select(
+        "i",
+        F.round("center", 6).alias("center"),
+        F.round("std", 6).alias("std"),
+        F.round("radius", 6).alias("radius"),
+    ).orderBy("i")
+
+
+def q_embedding_select(spark, sf_dir):
+    """Gap-filling link selection (adaptive_crawler.py:804-925): links
+    are each document's first-6-token preview, the KB is every 10th
+    document, gaps come from the deterministic train-query split; score
+    = ×2-amplified mean improvement over uncovered gaps × (1 − overlap
+    penalty).  Plan: two broadcast products (links × gaps, links × KB)
+    aggregated map-side — the link table never shuffles against the
+    corpus."""
+    from crawl4ai_spark.operators.embedding import (
+        _adaptive_tokens, _query_df, coverage_gaps, hash_embed,
+        query_variations, select_links, split_train_val,
+    )
+
+    q = "spark query window merge"
+    train, _ = split_train_val(q, query_variations(q, 10))
+    qdf = _query_df(spark, train, 16)
+    docs = _t(spark, sf_dir, "documents")
+    kb = docs.filter(F.col("doc_id") % 10 == 0).select(
+        hash_embed(F.col("text"), 16).alias("vec")
+    )
+    gaps = coverage_gaps(kb, qdf)
+    gaps_q = qdf.join(gaps, "qid").select("qid", "qvec", "gap")
+    links = docs.select(
+        F.col("doc_id").alias("href"),
+        F.array_join(F.slice(_adaptive_tokens(F.col("text")), 1, 6), " ")
+        .alias("link_text"),
+        F.col("doc_id").alias("seq"),
+    ).withColumn("lvec", hash_embed("link_text", 16)).filter(
+        F.exists(F.col("lvec"), lambda x: x != 0)
+    )
+    scored = select_links(links, gaps_q, kb, vec_col="vec", link_vec_col="lvec")
+    return scored.select(
+        "href", F.round("emb_score", 6).alias("emb_score")
+    ).orderBy("href")
+
+
 def q_quality_quantiles(spark, sf_dir):
     """Per-language quality distribution (exact interpolated
     percentiles — the corpus-health dashboard numbers; at 100 TB the
@@ -2041,6 +2239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5 additions (EmbeddingStrategy) — in the gate window
         "hash_embed": q_hash_embed,
         "embedding_coverage": q_embedding_coverage,
+        "embedding_shape": q_embedding_shape,
+        "embedding_select": q_embedding_select,
         "url_canonicalize": q_url_canonicalize,
         "url_host_depth": q_url_host_depth,
         "url_pattern_filter": q_url_pattern_filter,
@@ -3158,6 +3358,8 @@ def oracle_sql() -> dict[str, str]:
             FROM vals GROUP BY doc_id ORDER BY doc_id
         """,
         "embedding_coverage": _EMBEDDING_COVERAGE_SQL,
+        "embedding_shape": _embedding_shape_sql(),
+        "embedding_select": _embedding_select_sql(),
         "quality_quantiles": """
             WITH w AS (
               SELECT doc_id, lang, text,

@@ -48,6 +48,7 @@ __all__ = [
     "query_variations",
     "split_train_val",
     "coverage_gaps",
+    "coverage_shape",
     "embedding_confidence",
     "validation_score",
     "select_links",
@@ -312,6 +313,61 @@ def select_links(
     return scored.select(
         "href", "link_text", "seq",
         (F.col("_gapred") * (F.lit(1.0) - F.col("_pen"))).alias("emb_score"),
+    )
+
+
+def coverage_shape(points: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """Statistical coverage model of a point set — centroid + per-dim
+    std + max radius (`compute_coverage_shape`, adaptive_crawler.py
+    :737-758: high-dim alpha shapes are data-starved, so the reference
+    stores center/std/radius instead; ported as a distributed agg so
+    it also runs over corpus-sized KBs, not just query points).
+
+    Returns one row per dimension: (i, center, std, radius) with the
+    scalar radius repeated.  Plan: posexplode → per-dim agg (one
+    shuffle keyed by dim index), then radius via a broadcast of the
+    dim-sized stats back onto the points — ||x−c||² expanded as
+    ||x||² − 2·x·c + ||c||² so the point side is one pass."""
+    n = points.count()
+    if n == 0:
+        return points.sparkSession.createDataFrame(
+            [], "i int, center double, std double, radius double"
+        )
+    per_dim = (
+        points.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.avg("x").alias("center"),
+            F.coalesce(F.stddev_pop("x"), F.lit(0.0)).alias("std"),
+        )
+    )
+    c_norm2 = per_dim.agg(
+        F.sum(F.col("center") * F.col("center")).alias("c2")
+    )
+    dots = (
+        # id BEFORE the explode: in one select with posexplode the
+        # non-deterministic id is evaluated per OUTPUT row, splitting
+        # every vector into singleton groups
+        points.withColumn("_pid", F.monotonically_increasing_id())
+        .select("_pid", F.posexplode(vec_col).alias("i", "x"))
+        .join(F.broadcast(per_dim.select("i", "center")), "i")
+        .groupBy("_pid")
+        .agg(
+            F.sum(F.col("x") * F.col("center")).alias("xc"),
+            F.sum(F.col("x") * F.col("x")).alias("x2"),
+        )
+    )
+    radius = (
+        dots.crossJoin(F.broadcast(c_norm2))
+        .select(
+            F.sqrt(F.greatest(
+                F.col("x2") - 2.0 * F.col("xc") + F.col("c2"), F.lit(0.0)
+            )).alias("d")
+        )
+        .agg(F.max("d").alias("radius"))
+    )
+    return per_dim.crossJoin(F.broadcast(radius)).select(
+        "i", "center", "std", "radius"
     )
 
 

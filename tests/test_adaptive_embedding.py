@@ -174,3 +174,34 @@ def test_embedding_plan_shapes(spark):
     gplan = gaps._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in gplan        # tiny query side broadcast
     assert "SortMergeJoin" not in gplan
+
+
+def test_coverage_shape_matches_numpy(spark):
+    """coverage_shape ≡ the reference's center/std/radius model
+    (compute_coverage_shape :737-758) computed independently in numpy
+    over the same hash embeddings."""
+    import numpy as np
+
+    from crawl4ai_spark.operators.embedding import (
+        coverage_shape, hash_embed, hash_embed_py,
+    )
+
+    texts = [
+        "spark shuffle partition tuning", "partition tuning walkthrough",
+        "gardening flowers soil compost", "adaptive query execution spark",
+        "zz",  # token-free → zero vector, must stay in N and the radius max
+    ]
+    pts = np.array([hash_embed_py(t, 8) for t in texts])
+    center = pts.mean(axis=0)
+    std = pts.std(axis=0)
+    radius = float(np.max(np.linalg.norm(pts - center, axis=1)))
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        hash_embed("text", 8).alias("vec")
+    )
+    rows = {r["i"]: r for r in coverage_shape(df).collect()}
+    assert len(rows) == 8
+    for i in range(8):
+        assert abs(rows[i]["center"] - center[i]) < 1e-9
+        assert abs(rows[i]["std"] - std[i]) < 1e-9
+        assert abs(rows[i]["radius"] - radius) < 1e-9
