@@ -81,6 +81,21 @@ def _transport_factory():
     return UrllibTransport(timeout=30.0)
 
 
+def _fetch_robots(url: str) -> tuple[str, str]:
+    """(host, robots.txt rules) for the URL's host — driver-side one
+    small fetch; missing/failed robots ⇒ empty rules (allow-all, the
+    reference default)."""
+    from urllib.parse import urlparse
+
+    from crawl4ai_spark.sources.fetch import UrllibTransport
+
+    p = urlparse(url)
+    res = UrllibTransport(timeout=10.0).fetch_batch(
+        [f"{p.scheme}://{p.netloc}/robots.txt"]
+    )[0]
+    return p.netloc, res.html if res.status_code == 200 and res.html else ""
+
+
 def _emit(text: str, output_file: str | None) -> None:
     if output_file:
         with open(output_file, "w") as f:
@@ -130,6 +145,15 @@ def cmd_crawl(args) -> None:
         from crawl4ai_spark.plans.config import CrawlConfig
         from crawl4ai_spark.plans.crawl import CrawlEngine
 
+        if args.output in ("markdown-fit", "md-fit"):
+            # the engine's docs carry spans+markdown, not raw html, so
+            # the pruning filter has nothing to re-walk — fail loudly
+            # instead of silently emitting unpruned output
+            raise SystemExit(
+                "-o md-fit is not supported with --deep-crawl "
+                "(fit markdown needs the raw html; use the single-page "
+                "form per URL)"
+            )
         cfg_kw = dict(
             mode=_DEEP_MODES[args.deep_crawl],
             max_depth=args.max_depth,
@@ -143,17 +167,9 @@ def cmd_crawl(args) -> None:
         if args.respect_robots:
             # fetch /robots.txt for the seed host driver-side (one
             # small dim row — the engine broadcasts it)
-            from urllib.parse import urlparse
-
-            from crawl4ai_spark.sources.fetch import UrllibTransport
-
-            p = urlparse(args.url)
-            res = UrllibTransport(timeout=10.0).fetch_batch(
-                [f"{p.scheme}://{p.netloc}/robots.txt"]
-            )[0]
-            rules = res.html if res.status_code == 200 and res.html else ""
+            host_, rules_ = _fetch_robots(args.url)
             robots = spark.createDataFrame(
-                [(p.netloc, rules)], "host string, rules string"
+                [(host_, rules_)], "host string, rules string"
             )
         engine = CrawlEngine(
             spark, cfg, None, robots,
@@ -162,21 +178,29 @@ def cmd_crawl(args) -> None:
         )
         result = engine.run([args.url])
         rows = result.docs.select("doc_id", "spans", "raw_markdown").collect()
+
+        def _doc_json(r) -> str:
+            return json.dumps({
+                "url": r["doc_id"],
+                "markdown": r["raw_markdown"],
+                "spans": [
+                    {"kind": s["kind"], "text": s["text"],
+                     "media_ref": s["media_ref"], "offset": s["offset"]}
+                    for s in (r["spans"] or [])
+                ],
+            })
+
         if args.output in ("markdown", "md"):
             text = "\n\n".join(
                 f"# {r['doc_id']}\n{r['raw_markdown'] or ''}" for r in rows
             )
-        else:  # json-lines per document
+        elif args.output == "json":
+            text = "\n".join(_doc_json(r) for r in rows)
+        else:  # "all": per-doc markdown + json record (single-page form)
             text = "\n".join(
-                json.dumps({
-                    "url": r["doc_id"],
-                    "markdown": r["raw_markdown"],
-                    "spans": [
-                        {"kind": s["kind"], "text": s["text"],
-                         "media_ref": s["media_ref"], "offset": s["offset"]}
-                        for s in (r["spans"] or [])
-                    ],
-                }) for r in rows
+                f"# {r['doc_id']}\n{r['raw_markdown'] or ''}\n---\n"
+                + _doc_json(r)
+                for r in rows
             )
         _emit(text, args.output_file)
         if args.verbose:
@@ -192,7 +216,13 @@ def cmd_crawl(args) -> None:
 
     host = urlparse(args.url).netloc
     fetch = make_fetch_udf(_transport_factory, cache_key="cli-urllib")
-    step = make_step_udf(None, overrides.get("user_agent", "crawl4ai-spark"))
+    robots_map = None
+    if args.respect_robots:
+        # closure-mode robots gate in the step UDF (the engine's J4
+        # small-dim path): a disallowed page reports robots_ok=False
+        h_, rules_ = _fetch_robots(args.url)
+        robots_map = {h_: rules_}
+    step = make_step_udf(robots_map, overrides.get("user_agent", "crawl4ai-spark"))
     df = (
         spark.createDataFrame([(args.url,)], "url string")
         .select("url", fetch(F.col("url")).alias("f"))
@@ -233,6 +263,9 @@ def cmd_crawl(args) -> None:
     row = df.collect()[0]
     if row["error"] and not row["ex"]["success"]:
         print(f"# fetch error: {row['error']}", file=sys.stderr)
+        sys.exit(2)
+    if args.respect_robots and row["ex"]["robots_ok"] is False:
+        print(f"# blocked by robots.txt: {args.url}", file=sys.stderr)
         sys.exit(2)
     _emit(_format_doc(row, args.output), args.output_file)
 

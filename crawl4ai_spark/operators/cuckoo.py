@@ -118,31 +118,27 @@ def _pack(tab: np.ndarray, stash: np.ndarray):
 def _insert_shard(tab: np.ndarray, stash: np.ndarray, h1: np.ndarray) -> np.ndarray:
     """Insert a batch of keys into one shard's table in place.
 
-    Idempotent: a key whose fingerprint already sits in either of its
-    buckets (or the stash) is skipped, so re-adds (seed re-insertion,
-    replayed micro-batches) never create duplicate entries — one
-    `cuckoo_delete` then fully removes the key instead of leaving a
-    residual copy that probes 'maybe seen' forever.  (A different key
-    whose fp collides in a shared bucket is indistinguishable by
-    design — partial-key semantics, same as probe.)
+    DUPLICATE SEMANTICS (Fan et al., "Cuckoo Filter: Practically
+    Better Than Bloom", deletion section): two DISTINCT keys that
+    collide on (bucket, fingerprint) MUST both place a copy — the
+    duplicate is what keeps `cuckoo_delete` of one key from turning
+    the other into a false NEGATIVE (a seen-filter contract
+    violation: 'definitely new' for a crawled URL re-crawls it).
+    Inserts therefore do NOT skip already-present fingerprints;
+    instead, delete-exactness is the CALLER's contract: insert each
+    key at most once (callers add only exactly-new keys — the engine
+    and the streaming crawl both insert post-anti-join fresh sets),
+    and delete only keys previously inserted.  Same-key duplicates
+    WITHIN a batch are deduped below (identical h1 ⇒ same key —
+    safe), so a caller-respecting filter holds exactly one copy per
+    key plus the collision copies that make deletion safe.
 
     Vectorized rounds first (each round places ≤1 key per bucket-slot
     — no intra-batch write conflicts), scalar eviction only for the
     residue.  Returns the updated stash."""
     m = tab.shape[0]
-    h1 = np.unique(h1)  # intra-batch duplicates place once
+    h1 = np.unique(h1)  # intra-batch same-key dedup (64-bit h1 ⇒ same key)
     fp, i1, i2 = _derive(h1, m)
-    present = np.zeros(len(h1), dtype=bool)
-    for s in range(SLOTS):
-        present |= tab[i1, s] == fp
-        present |= tab[i2, s] == fp
-    if stash.size:
-        sk = set(map(tuple, stash.tolist()))
-        for j in np.nonzero(~present)[0]:
-            if (int(i1[j]), int(fp[j])) in sk or (int(i2[j]), int(fp[j])) in sk:
-                present[j] = True
-    keep = ~present
-    fp, i1, i2 = fp[keep], i1[keep], i2[keep]
     pending = np.arange(len(fp))
     for _ in range(6):
         if pending.size == 0:

@@ -184,8 +184,10 @@ def coverage_gaps(
     (`find_coverage_gaps` :774-802; empty KB ⇒ gap 1.0 for all).
 
     Plan: KB × broadcast(queries) → per-qid max — the KB never
-    shuffles; partial maxes combine map-side."""
-    if kb is None or not kb.take(1):
+    shuffles; partial maxes combine map-side.  An EMPTY (non-None)
+    KB needs no guard job: the left join below yields null best ⇒
+    gap 1.0 — so no per-call take(1) Spark job fires."""
+    if kb is None:
         return queries.select("qid", F.lit(1.0).alias("gap"))
     sims = kb.crossJoin(F.broadcast(queries)).select(
         "qid", _dot(F.col(vec_col), F.col(qvec_col)).alias("sim")
@@ -204,8 +206,9 @@ def embedding_confidence(
 ) -> float:
     """Mean best-cosine per query (or hit-rate ≥ tau) — the reference's
     active `calculate_confidence` (:927-946).  One broadcast-join agg;
-    driver traffic is the scalar."""
-    if kb is None or not kb.take(1):
+    driver traffic is the scalar (an empty KB aggregates to null ⇒
+    0.0 — no emptiness-guard job)."""
+    if kb is None:
         return 0.0
     best = (
         kb.crossJoin(F.broadcast(queries))
@@ -226,8 +229,9 @@ def validation_score(kb: DataFrame, val_queries: DataFrame,
     """Held-out coverage: mean(1 − min cosine DISTANCE) over the
     validation queries (`validate_coverage` :1076-1094) — numerically
     the same as mean best-similarity, kept separate to mirror the
-    reference's two code paths."""
-    if kb is None or not kb.take(1):
+    reference's two code paths.  Empty KB ⇒ null agg ⇒ 0.0 with no
+    guard job."""
+    if kb is None:
         return 0.0
     best = (
         kb.crossJoin(F.broadcast(val_queries))
@@ -294,7 +298,9 @@ def select_links(
                     F.coalesce("_gapred", F.lit(0.0)).alias("_gapred"))
         )
 
-    if kb is not None and kb.take(1):
+    if kb is not None:
+        # empty KB: maxsim is empty, the left join yields null
+        # _maxsim and the penalty when() falls through to 0
         maxsim = (
             links.crossJoin(F.broadcast(kb.select(vec_col)))
             .select("href", _dot(F.col(link_vec_col), F.col(vec_col)).alias("sim"))
@@ -379,8 +385,9 @@ def kb_dedup_mask(
     cosine vs KB < threshold (`update_state` :1180-1205 dedups new
     documents at 0.95 before extending the KB).  Empty KB keeps all.
     Note: like the reference, the batch is compared against the PRIOR
-    KB only, not within itself."""
-    if kb is None or not kb.take(1):
+    KB only, not within itself.  Empty KB: the left join coalesces
+    to 0 < threshold and keeps every row — no guard job."""
+    if kb is None:
         return batch
     kb_vecs = kb.select(F.col(vec_col).alias("_kbvec"))
     maxsim = (

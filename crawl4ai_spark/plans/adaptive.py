@@ -88,6 +88,35 @@ def _query_terms(query: str) -> list[str]:
     return [t for t in tokenize_py(query) if len(t) > 2]
 
 
+
+def _pending_links(batch: DataFrame, crawled: list[str], iteration: int) -> DataFrame:
+    """(href, link_text, seq) exploded from a fetched batch.
+
+    discovery seq = (iteration, fetch-rank of source page, within-page
+    position): the reference appends links to pending in exactly this
+    order, and its stable score sort preserves it on ties.  Fetch rank
+    comes from the crawl order (a when-chain over ≤ max_pages urls —
+    tiny).  Shared by the statistical and embedding digests so the two
+    strategies' pending-link ordering can never diverge."""
+    rank_expr = F.lit(0)
+    for i, u in enumerate(crawled):
+        rank_expr = F.when(F.col("_src") == u, F.lit(i)).otherwise(rank_expr)
+    return (
+        batch.select(
+            F.col("url").alias("_src"),
+            F.posexplode_outer("links").alias("_pos", "_lnk"),
+        )
+        .filter(F.col("_lnk.href").isNotNull())
+        .select(
+            F.col("_lnk.href").alias("href"),
+            F.coalesce(F.col("_lnk.text"), F.lit("")).alias("link_text"),
+            (F.lit(iteration) * F.lit(1 << 40)
+             + rank_expr.cast("long") * F.lit(1 << 20)
+             + F.col("_pos")).alias("seq"),
+        )
+    )
+
+
 def adaptive_digest(
     spark: SparkSession,
     pages: DataFrame,
@@ -141,28 +170,7 @@ def adaptive_digest(
         nonlocal kb, pending, crawled
         fetched = batch.select("url", "iteration", "text")
         kb = fetched if kb is None else kb.union(fetched)
-        # discovery seq = (iteration, fetch-rank of source page,
-        # within-page position): the reference appends links to
-        # pending in exactly this order, and its stable score sort
-        # preserves it on ties.  Fetch rank comes from the crawl
-        # order (a when-chain over ≤ max_pages urls — tiny).
-        rank_expr = F.lit(0)
-        for i, u in enumerate(crawled):
-            rank_expr = F.when(F.col("_src") == u, F.lit(i)).otherwise(rank_expr)
-        links = (
-            batch.select(
-                F.col("url").alias("_src"),
-                F.posexplode_outer("links").alias("_pos", "_lnk"),
-            )
-            .filter(F.col("_lnk.href").isNotNull())
-            .select(
-                F.col("_lnk.href").alias("href"),
-                F.coalesce(F.col("_lnk.text"), F.lit("")).alias("link_text"),
-                (F.lit(iteration) * F.lit(1 << 40)
-                 + rank_expr.cast("long") * F.lit(1 << 20)
-                 + F.col("_pos")).alias("seq"),
-            )
-        )
+        links = _pending_links(batch, crawled, iteration)
         pending = links if pending is None else pending.union(links)
 
     # ── initial crawl (digest :1306-1323) ────────────────────────────
@@ -358,25 +366,8 @@ def _embedding_digest(
         kb_emb = (
             emb_new if kb_emb is None else kb_emb.union(emb_new)
         ).localCheckpoint(eager=True)
-        # pending-link append order ≡ statistical loop (reference
-        # appends internal+external per fetched page in crawl order)
-        rank_expr = F.lit(0)
-        for i, u in enumerate(crawled):
-            rank_expr = F.when(F.col("_src") == u, F.lit(i)).otherwise(rank_expr)
-        links = (
-            batch.select(
-                F.col("url").alias("_src"),
-                F.posexplode_outer("links").alias("_pos", "_lnk"),
-            )
-            .filter(F.col("_lnk.href").isNotNull())
-            .select(
-                F.col("_lnk.href").alias("href"),
-                F.coalesce(F.col("_lnk.text"), F.lit("")).alias("link_text"),
-                (F.lit(iteration) * F.lit(1 << 40)
-                 + rank_expr.cast("long") * F.lit(1 << 20)
-                 + F.col("_pos")).alias("seq"),
-            )
-        )
+        # pending-link append order ≡ statistical loop (shared helper)
+        links = _pending_links(batch, crawled, iteration)
         pending = links if pending is None else pending.union(links)
 
     # ── initial crawl (digest :1302-1321) ────────────────────────────

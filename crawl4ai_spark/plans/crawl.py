@@ -1428,8 +1428,15 @@ class CrawlEngine:
             # hashes (incl. capacity-trimmed rows — trimmed is seen)
             # cogroup into the n_shards filter rows.  Checkpointed so
             # filter lineage stays one superstep deep, like the
-            # frontier.  (On iteration 0 the seeds re-insert as dup
-            # fingerprints — harmless: probe verdicts are unchanged.)
+            # frontier.  Insert-once discipline (the delete-exactness
+            # contract of operators/cuckoo): seeds enter ONLY via
+            # `_cuckoo_init` (enqueue_iter 0 < the first superstep's
+            # iteration 1, so this filter never re-adds them) and
+            # fresh entries are post-seen-gate new — each key enters
+            # the filter exactly once, so a later single
+            # `cuckoo_delete` (plans/recrawl.forget_expired) removes
+            # it exactly; remaining duplicates are only the
+            # distinct-key fp collisions that MAKE deletion safe.
             from crawl4ai_spark.operators.cuckoo import cuckoo_add
 
             prev_cuckoo = self._cuckoo_df

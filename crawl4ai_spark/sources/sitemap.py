@@ -192,4 +192,19 @@ def seed_urls_pipeline(
             .orderBy(F.desc("relevance_score"), F.asc("url"))
             .limit(max_urls)
         )
+    if query:
+        # no head texts: the reference's URL-relevance fallback (R10,
+        # async_url_seeder scoring when head data is absent) — rank by
+        # query-vs-URL-structure similarity instead of silently
+        # ignoring the query
+        from crawl4ai_spark.functions.url_relevance import make_url_relevance_udf
+
+        scored = urls.withColumn(
+            "relevance_score", make_url_relevance_udf(query)(F.col("url"))
+        )
+        return (
+            scored.select("url", "relevance_score", *pace_cols)
+            .orderBy(F.desc("relevance_score"), F.asc("url"))
+            .limit(max_urls)
+        )
     return urls.select("url", *pace_cols).orderBy("url").limit(max_urls)

@@ -274,11 +274,12 @@ class StreamingCrawl:
         # best-effort pre-filter (the next batch's seen gate is the
         # real one): keeps frontier files from refilling with knowns —
         # including this batch's own URLs, not yet in the seen table
-        # because the seen mark now comes last (and the seen dir may
-        # not exist at all on the first batch)
-        prior_seen = self._read_seen()
-        if prior_seen is not None:
-            links = links.join(prior_seen, "url", "left_anti")
+        # because the seen mark now comes last.  Reuses the `seen`
+        # frame read at the top of the batch (no seen write happens in
+        # between, and re-listing a directory that grows one file per
+        # batch gets progressively slower on long streams).
+        if seen is not None:
+            links = links.join(seen, "url", "left_anti")
         links = links.join(fresh.select("url"), "url", "left_anti")
         links = links.localCheckpoint(eager=True)
         if not links.isEmpty():

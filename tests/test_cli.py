@@ -106,3 +106,49 @@ def test_seed_sitemap(site):
     assert len(urls) == 3
     assert all(f"127.0.0.1:{site}/page_" in u for u in urls)
     assert "3 urls seeded" in r.stderr
+
+
+def test_deep_crawl_rejects_md_fit(site):
+    r = _run([
+        "crawl", f"http://127.0.0.1:{site}/page_0.html",
+        "--deep-crawl", "bfs", "-o", "md-fit",
+    ], timeout=120)
+    assert r.returncode != 0
+    assert "not supported with --deep-crawl" in r.stderr
+
+
+def test_single_page_respects_robots(site, tmp_path_factory):
+    """--respect-robots on the single-page path gates the output: a
+    disallowed page exits 2 with a block message."""
+    d = tmp_path_factory.mktemp("robots_site")
+    (d / "secret.html").write_text(
+        "<html><head><title>S</title></head><body><h1>Secret</h1></body></html>"
+    )
+    (d / "robots.txt").write_text("User-agent: *\nDisallow: /secret\n")
+    handler = lambda *a, **k: SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(d), **k
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        r = _run(["crawl", f"http://127.0.0.1:{port}/secret.html",
+                  "--respect-robots", "-o", "md"])
+        assert r.returncode == 2 and "blocked by robots.txt" in r.stderr
+        # without the flag the page crawls fine
+        r2 = _run(["crawl", f"http://127.0.0.1:{port}/secret.html", "-o", "md"])
+        assert r2.returncode == 0 and "# Secret" in r2.stdout
+    finally:
+        srv.shutdown()
+
+
+def test_seed_query_ranks_by_url_relevance(site):
+    """--query without head texts ranks by the R10 URL-relevance
+    fallback instead of silently ignoring the query."""
+    r = _run([
+        "seed", f"http://127.0.0.1:{site}/sitemap.xml",
+        "--query", "page_3", "--max-urls", "2",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    urls = [u for u in r.stdout.strip().splitlines() if u]
+    assert urls and urls[0].endswith("page_3.html")

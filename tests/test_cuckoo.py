@@ -134,23 +134,62 @@ def test_hash_col_mode(spark):
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
-def test_insert_idempotent_readd_then_single_delete(spark):
-    """Re-adding already-present keys places NO duplicate entries, so
-    one cuckoo_delete fully removes a key (no residual fingerprint
-    left probing 'maybe seen' forever).  Regression: seeds re-inserted
-    on iteration 0 + plans/recrawl.forget_expired's single delete."""
+def test_insert_once_then_single_delete_is_exact(spark):
+    """Delete-exactness under the caller contract (insert each key at
+    most once — what the engine and streaming crawl guarantee via
+    their seen gates): one cuckoo_delete of every inserted key leaves
+    the filter probing definitely-new for those keys, and intra-batch
+    same-key duplicates dedup at insert (same h1 places once)."""
     base = _urls(spark, 0, 500)
+    # duplicate rows WITHIN the insert batch dedup (same key ⇒ one copy)
     filt = cuckoo_add(empty_cuckoo(spark, n_shards=4, m_buckets=256),
-                      base, n_shards=4)
-    card1 = cuckoo_cardinality(filt)
-    # re-add the same keys twice more (and duplicate rows in-batch)
-    filt = cuckoo_add(filt, base.unionAll(base), n_shards=4)
-    filt = cuckoo_add(filt, base, n_shards=4).cache()
+                      base.unionAll(base), n_shards=4).cache()
     filt.count()
-    assert cuckoo_cardinality(filt) == card1  # no growth on re-add
-    # single delete now fully removes: everything probes definitely-new
     gone = cuckoo_delete(filt, base, n_shards=4)
     assert (
         cuckoo_probe(base, gone, n_shards=4)
         .filter(F.col("maybe_seen")).count() == 0
     )
+
+
+def test_collision_duplicates_keep_delete_safe(spark):
+    """Fan et al. duplicate semantics: two DISTINCT keys colliding on
+    (shard, bucket, fingerprint) both place a copy, so deleting one
+    key can NEVER turn the other into a false negative — the
+    seen-filter contract ('False ⇒ definitely not inserted') survives
+    deletion."""
+    import numpy as np
+    import pyspark.sql.functions as F2
+
+    from crawl4ai_spark.operators.cuckoo import _derive
+
+    # find two distinct urls that collide end-to-end in a 1-shard,
+    # 64-bucket filter (small table ⇒ collisions easy to mine)
+    urls = [f"http://c.test/{i}" for i in range(20000)]
+    hdf = spark.createDataFrame([(u,) for u in urls], "url string").select(
+        "url", F2.xxhash64("url").alias("h")
+    ).collect()
+    seen: dict[tuple, str] = {}
+    pair = None
+    for r in hdf:
+        fp, i1, i2 = _derive(np.array([r["h"]], dtype=np.int64), 64)
+        key = (int(fp[0]), min(int(i1[0]), int(i2[0])), max(int(i1[0]), int(i2[0])))
+        if key in seen and seen[key] != r["url"]:
+            pair = (seen[key], r["url"])
+            break
+        seen[key] = r["url"]
+    assert pair is not None, "no (fp, buckets) collision found in 20k urls"
+    a, b = pair
+
+    both = spark.createDataFrame([(a,), (b,)], "url string")
+    filt = cuckoo_add(empty_cuckoo(spark, n_shards=1, m_buckets=64),
+                      both, n_shards=1).cache()
+    filt.count()
+    # delete A: B's copy must survive — no false negative for B
+    after = cuckoo_delete(
+        filt, spark.createDataFrame([(a,)], "url string"), n_shards=1
+    )
+    b_row = cuckoo_probe(
+        spark.createDataFrame([(b,)], "url string"), after, n_shards=1
+    ).collect()[0]
+    assert b_row["maybe_seen"] is True
