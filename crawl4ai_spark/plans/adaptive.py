@@ -70,6 +70,11 @@ class DigestConfig:
     embedding_validation_min_score: float = 0.4
     embedding_kb_threshold: float = 0.95     # KB near-dup gate
     coverage_tau: float | None = None        # None ⇒ mean best-sim
+    # persistence (reference AdaptiveConfig :176-177 + CrawlState
+    # .save/.load :53-111): saved once per completed iteration and
+    # once at loop end; `adaptive_digest(resume_from=...)` reloads
+    save_state: bool = False
+    state_path: str | None = None
 
 
 @dataclass
@@ -117,6 +122,75 @@ def _pending_links(batch: DataFrame, crawled: list[str], iteration: int) -> Data
     )
 
 
+
+# ═════════════════════ state persistence ═════════════════════════════
+
+def _save_digest_state(
+    path: str, strategy: str, query: str, crawled: list[str],
+    kb: DataFrame, pending: DataFrame | None,
+    metrics: dict, history: list[dict], depth: int,
+    kb_emb: DataFrame | None = None,
+) -> None:
+    """CrawlState.save (reference adaptive_crawler.py:53-80) in Spark
+    form: the KB / pending-link / embedding-KB tables persist as
+    parquet (they are DataFrames — text never collects), the scalar
+    state (crawl order, metrics, history, query) as one JSON.  Written
+    once per completed iteration + once at loop end (digest
+    :1385,:1402), overwrite-style so the directory always holds one
+    consistent snapshot."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    kb.write.mode("overwrite").parquet(_os.path.join(path, "kb"))
+    if pending is not None:
+        pending.write.mode("overwrite").parquet(_os.path.join(path, "pending"))
+    if kb_emb is not None:
+        kb_emb.write.mode("overwrite").parquet(_os.path.join(path, "kb_emb"))
+    meta = {
+        "strategy": strategy, "query": query, "crawled": list(crawled),
+        "metrics": {k: v for k, v in metrics.items()},
+        "history": history, "depth": depth,
+        "has_pending": pending is not None, "has_kb_emb": kb_emb is not None,
+    }
+    tmp = _os.path.join(path, "_state.json.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _os.path.join(path, "_state.json"))
+
+
+def _load_digest_state(spark: SparkSession, path: str, strategy: str) -> dict:
+    """CrawlState.load (reference :82-111).  Raises on a strategy
+    mismatch: the two strategies keep different derived state (the
+    embedding KB is near-dup-deduped in crawl order) and silently
+    rebuilding it would diverge from an uninterrupted run."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_state.json")) as f:
+        meta = _json.load(f)
+    if meta["strategy"] != strategy:
+        raise ValueError(
+            f"state at {path!r} was saved by the {meta['strategy']!r} "
+            f"strategy; resuming with {strategy!r} is not supported"
+        )
+    out = dict(meta)
+    out["kb"] = spark.read.parquet(
+        _os.path.join(path, "kb")
+    ).localCheckpoint(eager=True)
+    out["pending"] = (
+        spark.read.parquet(_os.path.join(path, "pending"))
+        .localCheckpoint(eager=True)
+        if meta["has_pending"] else None
+    )
+    out["kb_emb"] = (
+        spark.read.parquet(_os.path.join(path, "kb_emb"))
+        .localCheckpoint(eager=True)
+        if meta.get("has_kb_emb") else None
+    )
+    return out
+
+
 def adaptive_digest(
     spark: SparkSession,
     pages: DataFrame,
@@ -126,6 +200,7 @@ def adaptive_digest(
     url_col: str = "url",
     text_col: str = "text",
     links_col: str = "links",
+    resume_from: str | None = None,
 ) -> DigestResult:
     """Crawl-until-confident over a page corpus.
 
@@ -138,11 +213,19 @@ def adaptive_digest(
     max_pages → frontier exhausted → saturation → no rankable links →
     min-gain.  Link selection is rank DESC, discovery-seq ASC — the
     reference's stable sort over append-ordered pending links.
+
+    `resume_from`: a `state_path` directory saved by a prior run
+    (cfg.save_state) — the KB/pending tables reload and the loop
+    continues (reference digest(resume_from=...) :1280-1288; like the
+    reference, the depth counter restarts at 0 and, for the embedding
+    strategy, the convergence history starts fresh — the reference's
+    CrawlState does not persist confidence_history either).
     """
     cfg = cfg or DigestConfig()
     if cfg.strategy == "embedding":
         return _embedding_digest(
-            spark, pages, start_url, query, cfg, url_col, text_col, links_col
+            spark, pages, start_url, query, cfg, url_col, text_col, links_col,
+            resume_from=resume_from,
         )
     if cfg.strategy != "statistical":
         raise ValueError(f"Unknown strategy: {cfg.strategy}")  # factory :1272
@@ -173,15 +256,37 @@ def adaptive_digest(
         links = _pending_links(batch, crawled, iteration)
         pending = links if pending is None else pending.union(links)
 
-    # ── initial crawl (digest :1306-1323) ────────────────────────────
-    batch0 = _fetch([start_url], 0)
-    if batch0.limit(1).count() == 0:
-        return DigestResult(
-            kb=spark.createDataFrame([], "url string, iteration int, text string"),
-            crawl_order=[], metrics={}, depth_reached=0, stop_reason="no_start",
-        )
-    crawled.append(start_url)
-    _merge(batch0, 0)
+    it0 = 0  # iteration-label base: continues the KB's numbering on
+    #          resume so per-iteration metrics (saturation's new-term
+    #          history) see one consistent timeline
+    if resume_from:
+        st = _load_digest_state(spark, resume_from, "statistical")
+        crawled, kb, pending = st["crawled"], st["kb"], st["pending"]
+        history = list(st["history"])
+        if kb is not None:
+            it0 = kb.agg(F.max("iteration").alias("m")).collect()[0]["m"] or 0
+
+    # ── initial crawl, skipped when already crawled (digest :1303) ───
+    if start_url not in crawled:
+        batch0 = _fetch([start_url], 0)
+        if batch0.limit(1).count() == 0:
+            if not crawled:
+                return DigestResult(
+                    kb=spark.createDataFrame(
+                        [], "url string, iteration int, text string"),
+                    crawl_order=[], metrics={}, depth_reached=0,
+                    stop_reason="no_start",
+                )
+        else:
+            crawled.append(start_url)
+            _merge(batch0, 0)
+
+    def _save(depth_now: int) -> None:
+        if cfg.save_state and cfg.state_path:
+            _save_digest_state(
+                cfg.state_path, "statistical", query, crawled, kb, pending,
+                metrics, history, depth_now,
+            )
 
     depth = 0
     stop_reason = "max_depth"
@@ -243,14 +348,15 @@ def adaptive_digest(
             break
 
         to_crawl = [r["href"] for r in top]
-        batch = _fetch(to_crawl, depth + 1)
+        batch = _fetch(to_crawl, it0 + depth + 1)
         got = {r["url"] for r in batch.select("url").collect()}
         crawled.extend(u for u in to_crawl if u in got)
         if got:
-            _merge(batch, depth + 1)
+            _merge(batch, it0 + depth + 1)
         depth += 1
         kb = kb.localCheckpoint(eager=True)
         pending = pending.localCheckpoint(eager=True)
+        _save(depth)  # per-iteration save (digest :1385)
 
     else:
         # loop fell off the end: recompute final metrics like the
@@ -266,6 +372,7 @@ def adaptive_digest(
 
     metrics["pages_crawled"] = float(len(crawled))
     metrics["depth_reached"] = float(depth)
+    _save(depth)  # final save (digest :1402)
     return DigestResult(
         kb=kb.select("url", "iteration", "text"),
         crawl_order=list(crawled),
@@ -287,6 +394,7 @@ def _embedding_digest(
     url_col: str,
     text_col: str,
     links_col: str,
+    resume_from: str | None = None,
 ) -> DigestResult:
     """The reference's EmbeddingStrategy digest loop
     (adaptive_crawler.py:593-1228 + digest :1290-1397) on deterministic
@@ -370,15 +478,38 @@ def _embedding_digest(
         links = _pending_links(batch, crawled, iteration)
         pending = links if pending is None else pending.union(links)
 
-    # ── initial crawl (digest :1302-1321) ────────────────────────────
-    batch0 = _fetch([start_url], 0)
-    if batch0.limit(1).count() == 0:
-        return DigestResult(
-            kb=spark.createDataFrame([], "url string, iteration int, text string"),
-            crawl_order=[], metrics={}, depth_reached=0, stop_reason="no_start",
-        )
-    crawled.append(start_url)
-    _merge(batch0, 0)
+    it0 = 0
+    if resume_from:
+        st = _load_digest_state(spark, resume_from, "embedding")
+        crawled, kb_docs, pending = st["crawled"], st["kb"], st["pending"]
+        kb_emb = st["kb_emb"]
+        history = list(st["history"])
+        if kb_docs is not None:
+            it0 = kb_docs.agg(
+                F.max("iteration").alias("m")
+            ).collect()[0]["m"] or 0
+
+    # ── initial crawl, skipped when already crawled (digest :1303) ───
+    if start_url not in crawled:
+        batch0 = _fetch([start_url], 0)
+        if batch0.limit(1).count() == 0:
+            if not crawled:
+                return DigestResult(
+                    kb=spark.createDataFrame(
+                        [], "url string, iteration int, text string"),
+                    crawl_order=[], metrics={}, depth_reached=0,
+                    stop_reason="no_start",
+                )
+        else:
+            crawled.append(start_url)
+            _merge(batch0, 0)
+
+    def _save(depth_now: int) -> None:
+        if cfg.save_state and cfg.state_path:
+            _save_digest_state(
+                cfg.state_path, "embedding", query, crawled, kb_docs,
+                pending, metrics, history, depth_now, kb_emb=kb_emb,
+            )
 
     depth = 0
     stop_reason = "max_depth"
@@ -449,14 +580,15 @@ def _embedding_digest(
             break
 
         to_crawl = [r["href"] for r in top]
-        batch = _fetch(to_crawl, depth + 1)
+        batch = _fetch(to_crawl, it0 + depth + 1)
         got = {r["url"] for r in batch.select("url").collect()}
         crawled.extend(u for u in to_crawl if u in got)
         if got:
-            _merge(batch, depth + 1)
+            _merge(batch, it0 + depth + 1)
         depth += 1
         kb_docs = kb_docs.localCheckpoint(eager=True)
         pending = pending.localCheckpoint(eager=True)
+        _save(depth)  # per-iteration save (digest :1385)
 
     # final confidence through the quality bands (:1143-1168)
     learning = embedding_confidence(
@@ -476,6 +608,7 @@ def _embedding_digest(
     metrics["confidence"] = quality
     metrics["pages_crawled"] = float(len(crawled))
     metrics["depth_reached"] = float(depth)
+    _save(depth)  # final save (digest :1402)
     return DigestResult(
         kb=kb_docs.select("url", "iteration", "text"),
         crawl_order=list(crawled),

@@ -123,3 +123,53 @@ def test_digest_parity(spark, pages_df, name, start, kw):
 def test_digest_missing_start(spark, pages_df):
     res = adaptive_digest(spark, pages_df, "https://nope.test/", QUERY)
     assert res.stop_reason == "no_start" and res.crawl_order == []
+
+
+def test_digest_save_and_resume_matches_uninterrupted(spark, pages_df, tmp_path):
+    """digest(resume_from=...) ≡ the uninterrupted run: a run stopped
+    by a small max_depth and resumed from its saved state crawls the
+    same pages in the same order as one uninterrupted run of the
+    combined depth (reference CrawlState.save/load + digest
+    resume_from; the depth counter restarts on resume like the
+    reference's)."""
+    kw = dict(confidence_threshold=0.99, max_pages=20, top_k_links=2,
+              saturation_threshold=1.01, min_gain_threshold=0.0)
+    start = "https://a.test/root"
+
+    full = adaptive_digest(spark, pages_df, start, QUERY,
+                           DigestConfig(max_depth=4, **kw))
+
+    state = str(tmp_path / "digest_state")
+    first = adaptive_digest(
+        spark, pages_df, start, QUERY,
+        DigestConfig(max_depth=2, save_state=True, state_path=state, **kw),
+    )
+    assert first.crawl_order == full.crawl_order[:len(first.crawl_order)]
+    resumed = adaptive_digest(
+        spark, pages_df, start, QUERY,
+        DigestConfig(max_depth=2, **kw), resume_from=state,
+    )
+    assert resumed.crawl_order == full.crawl_order
+    assert {r["url"] for r in resumed.kb.select("url").collect()} == set(
+        full.crawl_order
+    )
+    for k in ("coverage", "consistency", "saturation", "confidence"):
+        assert abs(resumed.metrics[k] - full.metrics[k]) < 1e-9, k
+
+
+def test_digest_resume_strategy_mismatch_raises(spark, pages_df, tmp_path):
+    import pytest as _pytest
+
+    state = str(tmp_path / "digest_state2")
+    adaptive_digest(
+        spark, pages_df, "https://a.test/root", QUERY,
+        DigestConfig(max_depth=1, save_state=True, state_path=state,
+                     confidence_threshold=0.99, saturation_threshold=1.01,
+                     min_gain_threshold=0.0),
+    )
+    with _pytest.raises(ValueError, match="strategy"):
+        adaptive_digest(
+            spark, pages_df, "https://a.test/root", QUERY,
+            DigestConfig(strategy="embedding", max_depth=1),
+            resume_from=state,
+        )

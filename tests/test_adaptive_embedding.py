@@ -205,3 +205,33 @@ def test_coverage_shape_matches_numpy(spark):
         assert abs(rows[i]["center"] - center[i]) < 1e-9
         assert abs(rows[i]["std"] - std[i]) < 1e-9
         assert abs(rows[i]["radius"] - radius) < 1e-9
+
+
+def test_embedding_digest_save_and_resume(spark, pages_df, tmp_path):
+    """Embedding-strategy resume: the deduped embedding KB persists
+    with the state, so the resumed run's crawl set matches the
+    uninterrupted run (convergence history intentionally resets, like
+    the reference's non-persisted confidence_history — so use a
+    config where convergence never fires)."""
+    kw = dict(max_pages=20, top_k_links=2, min_gain_threshold=0.0,
+              embedding_min_relative_improvement=0.0)
+    start = "https://a.test/root"
+
+    full = adaptive_digest(
+        spark, pages_df, start, QUERY,
+        DigestConfig(strategy="embedding", max_depth=4, **kw),
+    )
+    state = str(tmp_path / "emb_state")
+    adaptive_digest(
+        spark, pages_df, start, QUERY,
+        DigestConfig(strategy="embedding", max_depth=2,
+                     save_state=True, state_path=state, **kw),
+    )
+    resumed = adaptive_digest(
+        spark, pages_df, start, QUERY,
+        DigestConfig(strategy="embedding", max_depth=2, **kw),
+        resume_from=state,
+    )
+    assert resumed.crawl_order == full.crawl_order
+    assert abs(resumed.metrics["coverage_score"]
+               - full.metrics["coverage_score"]) < 1e-9
